@@ -1,0 +1,61 @@
+"""Beam extraction & ToF filtering — vectorized TPU re-expression of the
+reference's per-column scan loops.
+
+The reference walks 8 rows per column keeping a running (best, second)
+pair (robust_col_dist_m, uav_local_nav.c:1320-1342).  On TPU the same
+second-smallest-valid semantics is one masked sort along the row axis:
+invalid cells (0 / 0xFFFF / <=0.02 m after the mm->m conversion) map to
++inf, columns sort ascending, and the beam is element [1] when >=2 valid
+returns exist, element [0] when exactly one, NaN when none.  Identical
+result for every input, including duplicate minima (the C pair-tracking
+also yields the second *element* of the sorted order, not the second
+*distinct* value).
+
+All arithmetic is float32, matching the C `float` ops bit-for-bit
+(mm * 0.001f, the > 0.02f validity gate, clamp to 4.0f before comparison).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from micro_quad_slam_tpu.utils.config import TofConfig
+
+_F32 = np.float32
+
+
+def extract_beams(grid_mm: jnp.ndarray, tof: TofConfig = TofConfig()):
+    """grid_mm u16 [..., 4, 8, 8] -> (beams f32 [..., 4, 8], minima f32 [..., 4]).
+
+    Rows are axis -2, columns axis -1 (sensor layout: row-major 8x8,
+    tof_esp32.ino:200-209).
+    """
+    mm = grid_mm.astype(jnp.int32)
+    m = mm.astype(jnp.float32) * _F32(0.001)
+    valid = (mm != 0) & (mm != 0xFFFF) & (m > _F32(tof.min_valid_m))
+    m = jnp.minimum(m, _F32(tof.max_range_m))
+    m = jnp.where(valid, m, jnp.inf)
+    # second-smallest along rows: sort rows ascending per column
+    svals = jnp.sort(m, axis=-2)
+    count = valid.sum(axis=-2)
+    first = svals[..., 0, :]
+    second = svals[..., 1, :]
+    beams = jnp.where(
+        count >= 2, second, jnp.where(count == 1, first, jnp.nan)
+    )
+    minima = jnp.min(jnp.where(jnp.isnan(beams), jnp.inf, beams), axis=-1)
+    minima = jnp.where(jnp.isinf(minima), jnp.nan, minima)
+    return beams, minima
+
+
+def tof_filter_update(
+    filt: jnp.ndarray, minima: jnp.ndarray, alpha: float = 0.20
+) -> jnp.ndarray:
+    """NaN-aware EMA on per-direction minima (uav_local_nav.c:1430-1438):
+    skip NaN samples, adopt the first sample directly, then
+    (1-a)*filt + a*v in float32."""
+    a = _F32(alpha)
+    blended = (_F32(1.0) - a) * filt + a * minima
+    upd = jnp.where(jnp.isnan(filt), minima, blended)
+    return jnp.where(jnp.isnan(minima), filt, upd)

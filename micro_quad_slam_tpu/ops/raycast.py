@@ -1,0 +1,339 @@
+"""Fused scan -> log-odds grid update, TPU-first.
+
+The reference's hot loop (SURVEY.md §3.2) walks 32 Bresenham rays per scan,
+mutating int8 cells one at a time with saturating log-odds updates
+(raycast_update, uav_local_nav.c:241-278; map_update_from_beams, :280-306).
+Data-dependent scatter is the one pattern TPUs dislike, so this module
+re-derives the update as dense, vectorized VPU work with *identical*
+results:
+
+1.  **No scatter, no bounds-break.**  The reference only casts a ray when
+    BOTH the pose cell and the endpoint cell are inside the 500x500 grid
+    (world_to_grid early-outs, :243-244); a Bresenham walk between two
+    in-bounds cells never leaves the grid (it stays in the endpoints'
+    bounding box), so the mid-walk bounds check (:276) is dead code and
+    per-ray validity is a single predicate.
+
+2.  **Windowed update.**  Rays are <= 4.0 m = 40 cells, so all 32 rays of
+    a scan live in an 89x89 window centered on the pose cell (41-cell
+    radius after float rounding; we use 44 for margin).  The grid is kept
+    physically padded to 608x640 so the (96, 128)-padded window can be
+    read/written with one dynamic_slice each — never clamped, never OOB.
+
+3.  **Closed-form Bresenham membership.**  The reference's err = dx+dy
+    Bresenham visits exactly one cell per dominant-axis step, at the
+    minor-axis offset  m(k) = (2*k*dmin + dmaj) // (2*dmaj).  (Derivation:
+    the err update preserves err = dx+dy - 2*(k*dym - m*dx) ... verified
+    exhaustively against the reference walk in tests.)  Membership of a
+    window cell in a ray is therefore an equality test on iota grids —
+    one vectorized compare instead of a sequential walk.
+
+4.  **Exact sequential clamping.**  Cell updates saturate at +/-80 *per
+    step*, so the 32-ray order (F0..F7,R0..R7,B0..B7,L0..L7) is observable
+    when a cell is touched by several rays in one scan.  Per scan, a cell
+    moves at most +48/-32, so at most ONE bound can engage; the clamped
+    running sum then has the closed form (Skorokhod reflection)
+
+        final = max(lo, min(mid, up))
+        mid = v0 + S,  up = LO_MAX + S - maxP,  lo = LO_MIN + S - minP
+
+    where S is the delta sum and maxP/minP the running prefix extrema over
+    the ray axis.  One fori_loop over 32 rays carrying (P, maxP, minP)
+    reproduces the sequential C semantics bit-for-bit with pure dense ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from micro_quad_slam_tpu.utils.config import MapConfig, TofConfig
+
+_F32 = np.float32
+_DEG2RAD = _F32(np.pi) / _F32(180.0)
+
+
+@dataclass(frozen=True)
+class GridGeom:
+    """Static padded-grid geometry derived from a MapConfig."""
+
+    width: int = 500           # logical cells (x)
+    height: int = 500          # logical cells (y)
+    pad: int = 48              # logical origin offset inside padded array
+    win_r: int = 44            # window radius in cells (>= max ray + rounding)
+    win_rows: int = 96         # padded window rows (y), multiple of 8
+    win_cols: int = 128        # padded window cols (x), multiple of 128
+    prows: int = 608           # padded grid rows
+    pcols: int = 640           # padded grid cols
+
+    @classmethod
+    def from_map(cls, cfg: MapConfig) -> "GridGeom":
+        r = cfg.max_ray_cells + 4
+        win_rows = -(-(2 * r + 1) // 8) * 8
+        win_cols = -(-(2 * r + 1) // 128) * 128
+        pad = r + 4
+        prows = -(-(cfg.height + pad + (win_rows - r)) // 32) * 32
+        pcols = -(-(cfg.width + pad + (win_cols - r)) // 128) * 128
+        return cls(cfg.width, cfg.height, pad, r, win_rows, win_cols, prows, pcols)
+
+
+DEFAULT_GEOM = GridGeom()
+
+
+def new_padded_grid(geom: GridGeom = DEFAULT_GEOM, batch: tuple = ()) -> jnp.ndarray:
+    return jnp.zeros(batch + (geom.prows, geom.pcols), jnp.int8)
+
+
+def logical_grid(padded: jnp.ndarray, geom: GridGeom = DEFAULT_GEOM) -> jnp.ndarray:
+    """Slice the logical HxW grid out of the padded array."""
+    return padded[..., geom.pad: geom.pad + geom.height,
+                  geom.pad: geom.pad + geom.width]
+
+
+def world_to_cell(x, y, origin_x, origin_y, res: float,
+                  half_w: int = 250, half_h: int = 250):
+    """Cell indices with lrintf (round-half-even) semantics; the map origin
+    sits at the grid center (uav_local_nav.c:205-214).  Returns (cx, cy)
+    int32, unbounded."""
+    res = _F32(res)
+    cx = jnp.round((x - origin_x) / res).astype(jnp.int32) + half_w
+    cy = jnp.round((y - origin_y) / res).astype(jnp.int32) + half_h
+    return cx, cy
+
+
+def make_rays(
+    beams: jnp.ndarray,
+    x_m: jnp.ndarray,
+    y_m: jnp.ndarray,
+    yaw_deg: jnp.ndarray,
+    origin_x: jnp.ndarray,
+    origin_y: jnp.ndarray,
+    enabled,
+    cfg: MapConfig = MapConfig(),
+    tof: TofConfig = TofConfig(),
+):
+    """Project one scan's beams [4, 8] to window-relative ray endpoints.
+
+    Mirrors map_update_from_beams (uav_local_nav.c:280-306) in float32:
+    skip NaN and <=0.05 m beams, hit iff dist < max_range-0.05, clamp to
+    max_range, fan angle = yaw + dir_center + ((c-3.5)/3.5)*half_fov.
+
+    Returns dict of [32] arrays (ray order F0..F7,R0..R7,B0..B7,L0..L7):
+      ex, ey   int32 window-relative endpoint cells
+      end_delta int32 endpoint log-odds delta (+occ_inc hit / -miss_dec)
+      valid    bool
+    plus scalar (pcx, pcy) pose cell (int32, clamped into the logical grid
+    for safe slicing; rays are invalid when the true pose cell is OOB).
+    """
+    half_fov = _F32(tof.fov_deg) * _F32(0.5)
+    cols = np.arange(8, dtype=np.float32)
+    u = (cols - _F32(3.5)) / _F32(3.5)
+    col_off = u * half_fov                               # f32 [8]
+    centers = np.asarray(tof.dir_center_deg, np.float32)  # [4]
+
+    dist = beams.reshape(4, 8)
+    ray_ok = ~jnp.isnan(dist) & (dist > _F32(tof.map_skip_below_m))
+    hit = dist < (_F32(tof.max_range_m) - _F32(tof.hit_margin_m))
+    d = jnp.minimum(jnp.where(ray_ok, dist, _F32(0.0)), _F32(tof.max_range_m))
+
+    ang_deg = (yaw_deg + centers[:, None]) + col_off[None, :]
+    ang = ang_deg * _DEG2RAD
+    ex_w = x_m + d * jnp.cos(ang)
+    ey_w = y_m + d * jnp.sin(ang)
+
+    pcx, pcy = world_to_cell(x_m, y_m, origin_x, origin_y, cfg.res_m,
+                             cfg.width // 2, cfg.height // 2)
+    ecx, ecy = world_to_cell(ex_w, ey_w, origin_x, origin_y, cfg.res_m,
+                             cfg.width // 2, cfg.height // 2)
+
+    pose_in = (pcx >= 0) & (pcx < cfg.width) & (pcy >= 0) & (pcy < cfg.height)
+    end_in = (ecx >= 0) & (ecx < cfg.width) & (ecy >= 0) & (ecy < cfg.height)
+    valid = ray_ok & end_in & pose_in & enabled
+
+    pcx_safe = jnp.clip(pcx, 0, cfg.width - 1)
+    pcy_safe = jnp.clip(pcy, 0, cfg.height - 1)
+
+    ex = jnp.where(valid, ecx - pcx_safe, 0).reshape(32)
+    ey = jnp.where(valid, ecy - pcy_safe, 0).reshape(32)
+    end_delta = jnp.where(hit, cfg.lo_occ_inc, -cfg.lo_miss_end_dec).reshape(32)
+    return {
+        "ex": ex.astype(jnp.int32),
+        "ey": ey.astype(jnp.int32),
+        "end_delta": end_delta.astype(jnp.int32),
+        "valid": valid.reshape(32),
+        "pcx": pcx_safe,
+        "pcy": pcy_safe,
+    }
+
+
+def window_scan_update(
+    window: jnp.ndarray, rays: dict, cfg: MapConfig = MapConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+) -> jnp.ndarray:
+    """Apply one scan's 32 rays to the [win_rows, win_cols] int8 window
+    centered at (win_r, win_r), with exact sequential-clamp semantics."""
+    R = geom.win_r
+    rows = lax.broadcasted_iota(jnp.int32, (geom.win_rows, 1), 0) - R   # v (y)
+    colr = lax.broadcasted_iota(jnp.int32, (1, geom.win_cols), 1) - R   # u (x)
+
+    exs, eys = rays["ex"], rays["ey"]
+    eds, vals = rays["end_delta"], rays["valid"]
+    free_dec = jnp.int32(cfg.lo_free_dec)
+
+    def body(r, carry):
+        P, mx, mn = carry
+        ex, ey, ed = exs[r], eys[r], eds[r]
+        val = vals[r]
+        dx, dy = jnp.abs(ex), jnp.abs(ey)
+        sx = jnp.where(ex > 0, 1, -1)
+        sy = jnp.where(ey > 0, 1, -1)
+        kx = colr * sx            # [1, C]
+        ky = rows * sy            # [R, 1]
+        xmaj = dx >= dy
+        # minor-axis offset along the dominant axis (closed-form Bresenham)
+        mX = (2 * kx * dy + dx) // jnp.maximum(2 * dx, 1)   # [1, C]
+        mY = (2 * ky * dx + dy) // jnp.maximum(2 * dy, 1)   # [R, 1]
+        memX = (ky == mX) & (kx >= 0) & (kx <= dx)
+        memY = (kx == mY) & (ky >= 0) & (ky <= dy)
+        member = jnp.where(xmaj, memX, memY) & val
+        is_end = (colr == ex) & (rows == ey)
+        delta = jnp.where(member, jnp.where(is_end, ed, -free_dec), 0)
+        P = P + delta
+        return P, jnp.maximum(mx, P), jnp.minimum(mn, P)
+
+    z = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
+    P, mx, mn = lax.fori_loop(0, 32, body, (z, z, z))
+
+    v0 = window.astype(jnp.int32)
+    mid = v0 + P
+    up = jnp.int32(cfg.lo_max) + P - mx
+    lo = jnp.int32(cfg.lo_min) + P - mn
+    return jnp.maximum(jnp.minimum(mid, up), lo).astype(jnp.int8)
+
+
+def apply_scan_to_grid(
+    padded_grid: jnp.ndarray,
+    beams: jnp.ndarray,
+    x_m, y_m, yaw_deg,
+    origin_x, origin_y,
+    enabled,
+    cfg: MapConfig = MapConfig(),
+    tof: TofConfig = TofConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+) -> jnp.ndarray:
+    """One fused scan update: beams -> rays -> window read-modify-write."""
+    rays = make_rays(beams, x_m, y_m, yaw_deg, origin_x, origin_y,
+                     enabled, cfg, tof)
+    r0 = rays["pcy"] + geom.pad - geom.win_r
+    c0 = rays["pcx"] + geom.pad - geom.win_r
+    win = lax.dynamic_slice(padded_grid, (r0, c0),
+                            (geom.win_rows, geom.win_cols))
+    win = window_scan_update(win, rays, cfg, geom)
+    return lax.dynamic_update_slice(padded_grid, win, (r0, c0))
+
+
+def recenter_grid(
+    padded_grid: jnp.ndarray,
+    origin_x, origin_y,
+    x_m, y_m,
+    pose_ok,
+    cfg: MapConfig = MapConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+):
+    """Conditional whole-cell grid shift (uav_local_nav.c:324-353).
+
+    new[y, x] = old[y + sy, x + sx]; shift computed from the pose-origin
+    offset, clamped to +/-recenter_max_shift_cells; margins stay zero.
+    Returns (grid, origin_x, origin_y, recentered_flag).
+    """
+    half = _F32(cfg.size_m) * _F32(0.5)
+    thresh = half * _F32(cfg.recenter_frac)
+    dx = x_m - origin_x
+    dy = y_m - origin_y
+    need = pose_ok & ((jnp.abs(dx) >= thresh) | (jnp.abs(dy) >= thresh))
+
+    res = _F32(cfg.res_m)
+    mx = cfg.recenter_max_shift_cells
+    sx = jnp.clip(jnp.round(dx / res).astype(jnp.int32), -mx, mx)
+    sy = jnp.clip(jnp.round(dy / res).astype(jnp.int32), -mx, mx)
+    nonzero = (sx != 0) | (sy != 0)
+    do = need & nonzero
+    sx = jnp.where(do, sx, 0)
+    sy = jnp.where(do, sy, 0)
+
+    # shift within the padded array: out[r, c] = in[r+sy, c+sx] where both
+    # cells are in the logical region, else 0 (margins included).
+    rolled = jnp.roll(jnp.roll(padded_grid, -sy, axis=-2), -sx, axis=-1)
+    r_ids = lax.broadcasted_iota(jnp.int32, (geom.prows, 1), 0)
+    c_ids = lax.broadcasted_iota(jnp.int32, (1, geom.pcols), 1)
+    in_log = (
+        (r_ids >= geom.pad) & (r_ids < geom.pad + geom.height)
+        & (c_ids >= geom.pad) & (c_ids < geom.pad + geom.width)
+    )
+    src_in = (
+        (r_ids + sy >= geom.pad) & (r_ids + sy < geom.pad + geom.height)
+        & (c_ids + sx >= geom.pad) & (c_ids + sx < geom.pad + geom.width)
+    )
+    grid = jnp.where(in_log & src_in, rolled, jnp.int8(0))
+    grid = jnp.where(do, grid, padded_grid)
+
+    origin_x = jnp.where(do, origin_x + sx.astype(jnp.float32) * res, origin_x)
+    origin_y = jnp.where(do, origin_y + sy.astype(jnp.float32) * res, origin_y)
+    return grid, origin_x, origin_y, do
+
+
+def _frontier_step_dists(cfg: MapConfig) -> np.ndarray:
+    """Reproduce the C loop `for (d = step; d <= max_range; d += step)` with
+    float32 accumulation — the step count is float-sensitive
+    (uav_local_nav.c:370)."""
+    step = _F32(cfg.res_m) * _F32(cfg.frontier_step_cells)
+    out = []
+    d = step
+    while d <= _F32(cfg.frontier_range_m):
+        out.append(d)
+        d = _F32(d + step)
+    return np.asarray(out, np.float32)
+
+
+def frontier_scores(
+    padded_grid: jnp.ndarray,
+    x_m, y_m, yaw_deg,
+    offsets_deg,
+    origin_x, origin_y,
+    inited,
+    cfg: MapConfig = MapConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+) -> jnp.ndarray:
+    """Vectorized frontier_score_dir (uav_local_nav.c:356-385) for several
+    query directions at once.
+
+    offsets_deg: static tuple/array of D query offsets (e.g. (0, 90, -90,
+    180)).  Returns int32 [D] scores.  A ray stepping out of the logical
+    grid stops contributing from that step on (lines are monotone, so the
+    C `break` equals masking all OOB steps).
+    """
+    offs = np.asarray(offsets_deg, np.float32)             # [D]
+    rays = np.asarray(cfg.frontier_ray_offsets_deg, np.float32)  # [3]
+    dists = _frontier_step_dists(cfg)                      # [S]
+
+    ang = ((yaw_deg + offs[:, None]) + rays[None, :]) * _DEG2RAD  # [D, 3]
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    px = x_m + dists[None, None, :] * ca[..., None]        # [D, 3, S]
+    py = y_m + dists[None, None, :] * sa[..., None]
+    cx, cy = world_to_cell(px, py, origin_x, origin_y, cfg.res_m,
+                           cfg.width // 2, cfg.height // 2)
+    inb = (cx >= 0) & (cx < cfg.width) & (cy >= 0) & (cy < cfg.height)
+    cxs = jnp.clip(cx, 0, cfg.width - 1) + geom.pad
+    cys = jnp.clip(cy, 0, cfg.height - 1) + geom.pad
+    v = padded_grid[cys, cxs].astype(jnp.int32)            # gather [D, 3, S]
+    m = inb & inited
+    unknown = (m & (v >= -cfg.frontier_unknown_band)
+               & (v <= cfg.frontier_unknown_band)).sum(axis=(-1, -2))
+    occ = (m & (v > cfg.frontier_occ_thresh)).sum(axis=(-1, -2))
+    free = (m & (v < cfg.frontier_free_thresh)).sum(axis=(-1, -2))
+    return (unknown * cfg.frontier_w_unknown + free * cfg.frontier_w_free
+            - occ * cfg.frontier_w_occ).astype(jnp.int32)

@@ -1,0 +1,189 @@
+"""Mapping replay engine: scanlog stream -> occupancy grid, on device.
+
+This is the minimum end-to-end slice of the framework (SURVEY.md §7 step 4):
+the reference's offline-mapping pipeline (scan ingestion call stack, SURVEY
+§3.2) recomputed from logged poses as one pure `step(state, frame) -> state`
+function, `lax.scan` over flight time, `vmap` over flights.
+
+Replay policy (identical to golden_replay_mapping so the two bit-match;
+see micro_quad_slam_tpu/golden/model.py for the scanrec-field proxies):
+
+  * map init at the first record with finite (x, y) and an airborne state
+    (HOVER..LANDING; the reference inits at hover XY lock,
+    uav_local_nav.c:2187-2194); origin = that record's pose; the init
+    frame itself is mapped.
+  * per record: recenter-if-needed when (x, y) finite
+    (uav_local_nav.c:1629-1631), then update iff pose_good_for_mapping
+    (uav_local_nav.c:1633-1635, :935-947).
+  * ToF EMA filter state advances every record (uav_local_nav.c:1430-1438).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from micro_quad_slam_tpu.ops.beams import extract_beams, tof_filter_update
+from micro_quad_slam_tpu.ops.raycast import (
+    DEFAULT_GEOM,
+    GridGeom,
+    apply_scan_to_grid,
+    recenter_grid,
+)
+from micro_quad_slam_tpu.utils.config import PipelineConfig, UL_PROFILE
+
+_F32 = np.float32
+
+# MAV_SYS_STATUS sensor bits (MAVLink common enum values)
+SENSOR_3D_GYRO = 0x01
+SENSOR_Z_ALTITUDE_CONTROL = 0x2000
+SENSOR_XY_POSITION_CONTROL = 0x4000
+SENSOR_MOTOR_OUTPUTS = 0x400000
+
+# Behavior states with the map active (uav_local_nav.c:484-496)
+ST_HOVER, ST_LANDING = 5, 8
+
+# Keyframe flag bit for recentering (uav_local_nav.c:225)
+KF_MAP_RECENTER = 1 << 5
+
+
+class MappingState(NamedTuple):
+    grid: jnp.ndarray       # int8 [prows, pcols] padded occupancy grid
+    origin_x: jnp.ndarray   # f32 map origin (world NED x at grid center)
+    origin_y: jnp.ndarray
+    inited: jnp.ndarray     # bool
+    filt: jnp.ndarray       # f32 [4] EMA'd per-direction ToF minima
+
+
+def mapping_init(geom: GridGeom = DEFAULT_GEOM) -> MappingState:
+    return MappingState(
+        grid=jnp.zeros((geom.prows, geom.pcols), jnp.int8),
+        origin_x=jnp.float32(jnp.nan),
+        origin_y=jnp.float32(jnp.nan),
+        inited=jnp.array(False),
+        filt=jnp.full(4, jnp.nan, jnp.float32),
+    )
+
+
+def _sys_bit_ok(sys_health, bit):
+    """sys_health == 0 means 'no SYS_STATUS recorded' => healthy (the
+    scanrec writer stores 0 then, uav_local_nav.c:1576; matches the
+    reference's stale-SYS fallback, :904-907)."""
+    return (sys_health == 0) | ((sys_health & bit) != 0)
+
+
+def pose_good_for_mapping(x_m, yaw_deg, of_q, of_rate_x, sys_health,
+                          of_min_quality: int):
+    """Replay-time pose_good_for_mapping (uav_local_nav.c:935-947):
+    lpos-fresh <=> x finite, have_att <=> yaw finite, XY/Z health from the
+    recorded bits, flow-fresh <=> recorded rate finite."""
+    ok = jnp.isfinite(x_m) & jnp.isfinite(yaw_deg)
+    ok &= _sys_bit_ok(sys_health, SENSOR_XY_POSITION_CONTROL)
+    ok &= _sys_bit_ok(sys_health, SENSOR_Z_ALTITUDE_CONTROL)
+    of_fresh = jnp.isfinite(of_rate_x)
+    ok &= (~of_fresh) | (of_q >= of_min_quality)
+    return ok
+
+
+def mapping_step(
+    state: MappingState,
+    frame: dict,
+    cfg: PipelineConfig = UL_PROFILE,
+    geom: GridGeom = DEFAULT_GEOM,
+):
+    """One scanrec through the mapper.  `frame` carries either a raw
+    `grid_mm` u16 [4,8,8] or precomputed `beams`/`minima` (the batched
+    path extracts beams for all frames up-front — embarrassingly parallel,
+    outside the sequential scan)."""
+    if "beams" in frame:
+        beams, minima = frame["beams"], frame["minima"]
+    else:
+        beams, minima = extract_beams(frame["grid_mm"], cfg.tof)
+
+    filt = tof_filter_update(state.filt, minima, cfg.tof.filt_alpha)
+
+    x, y, yaw = frame["x_m"], frame["y_m"], frame["yaw_deg"]
+    pose_finite = jnp.isfinite(x) & jnp.isfinite(y)
+
+    # map init at first airborne record with a finite pose
+    st = frame["state"].astype(jnp.int32)
+    airborne = (st >= ST_HOVER) & (st <= ST_LANDING)
+    do_init = (~state.inited) & pose_finite & airborne
+    origin_x = jnp.where(do_init, x, state.origin_x)
+    origin_y = jnp.where(do_init, y, state.origin_y)
+    inited = state.inited | do_init
+
+    # recenter (uav_local_nav.c:1629-1631)
+    grid, origin_x, origin_y, recentered = recenter_grid(
+        state.grid, origin_x, origin_y, x, y,
+        pose_finite & inited, cfg.map, geom,
+    )
+
+    enabled = inited & pose_good_for_mapping(
+        x, yaw, frame["of_q"].astype(jnp.int32), frame["of_rate_x"],
+        frame["sys_health"], cfg.gates.of_min_quality,
+    )
+    grid = apply_scan_to_grid(
+        grid, beams, x, y, yaw, origin_x, origin_y, enabled,
+        cfg.map, cfg.tof, geom,
+    )
+
+    new_state = MappingState(grid, origin_x, origin_y, inited, filt)
+    out = {
+        "used": enabled,
+        "kf_flags": jnp.where(recentered, jnp.uint8(KF_MAP_RECENTER),
+                              jnp.uint8(0)),
+        "filt": filt,
+    }
+    return new_state, out
+
+
+def scanlog_to_arrays(scanlog) -> dict:
+    """Host-side: ScanLog -> dict of [T] device-ready numpy arrays."""
+    return {
+        "grid_mm": np.ascontiguousarray(scanlog.grid_mm),
+        "x_m": np.ascontiguousarray(scanlog.x_m),
+        "y_m": np.ascontiguousarray(scanlog.y_m),
+        "yaw_deg": np.ascontiguousarray(scanlog.yaw_deg),
+        "of_q": np.ascontiguousarray(scanlog.of_q),
+        "of_rate_x": np.ascontiguousarray(scanlog.of_rate_x),
+        "sys_health": np.ascontiguousarray(scanlog.sys_health),
+        "state": np.ascontiguousarray(scanlog.state),
+    }
+
+
+def _replay(frames: dict, cfg: PipelineConfig, geom: GridGeom):
+    # beams for every frame at once (parallel), then scan the sequential part
+    beams, minima = extract_beams(frames["grid_mm"], cfg.tof)
+    seq = {k: frames[k] for k in
+           ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health", "state")}
+    seq["beams"] = beams
+    seq["minima"] = minima
+
+    def step(st, fr):
+        return mapping_step(st, fr, cfg, geom)
+
+    return lax.scan(step, mapping_init(geom), seq)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def replay_mapping(frames: dict, cfg: PipelineConfig = UL_PROFILE,
+                   geom: GridGeom = DEFAULT_GEOM):
+    """Replay one flight: frames dict of [T] arrays -> (MappingState, outs).
+
+    jit-compiled with the config static; reuse the same cfg object to hit
+    the compile cache.
+    """
+    return _replay(frames, cfg, geom)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def replay_mapping_batched(frames: dict, cfg: PipelineConfig = UL_PROFILE,
+                           geom: GridGeom = DEFAULT_GEOM):
+    """vmap over a batch of flights: frames dict of [B, T] arrays."""
+    return jax.vmap(lambda f: _replay(f, cfg, geom))(frames)

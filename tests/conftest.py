@@ -3,13 +3,24 @@
 Multi-chip sharding is validated without real hardware via
 --xla_force_host_platform_device_count (SURVEY.md §4 item 5); the driver
 separately dry-run-compiles the multi-chip path via __graft_entry__.py.
+
+IMPORTANT: this environment's sitecustomize imports jax at interpreter
+start with JAX_PLATFORMS=axon (the TPU tunnel) already in the env, so
+jax's config has cached the platform before conftest runs — mutating
+os.environ here is too late.  jax.config.update is the only reliable
+override.  Set MQS_TEST_PLATFORM=axon to deliberately run the suite on
+the real TPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
+)
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("MQS_TEST_PLATFORM", "cpu"))
