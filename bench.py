@@ -1,0 +1,98 @@
+"""Benchmark: fused sensor-frames/sec/chip on batched mapping replay.
+
+Measures the framework's headline metric (BASELINE.md north star:
+>= 1,000,000 fused frames/sec on one TPU v5e chip): B independent flight
+replays, each frame doing beam extraction + gating + the fused 32-ray
+log-odds window update, scanned over T frames and vmapped over B flights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the multiple of the reference pipeline's own fused-frame
+rate (~10 frames/s on the companion SBC, BASELINE.md).
+
+Env knobs: MQS_BENCH_B (batch, default 256), MQS_BENCH_T (frames/log,
+default 256), MQS_BENCH_REPS (timed reps, default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from micro_quad_slam_tpu.parallel.mesh import (
+        _replay_batched_with_metrics,
+        make_mesh,
+        shard_batch,
+    )
+    from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM
+    from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    B = int(os.environ.get("MQS_BENCH_B", "256"))
+    T = int(os.environ.get("MQS_BENCH_T", "256"))
+    reps = int(os.environ.get("MQS_BENCH_REPS", "3"))
+
+    # one synthetic flight, replicated with per-flight pose jitter: the
+    # throughput path is identical for any inputs (static shapes, no
+    # data-dependent control flow), so generation cost stays off the bench.
+    base = scanlog_to_arrays(
+        synth_room_scanlog(n_frames=T, seed=0, path="hover",
+                           yaw_rate_dps=20.0, noise_mm=5.0)
+    )
+    rng = np.random.default_rng(1)
+    frames = {k: np.broadcast_to(v, (B,) + v.shape).copy() for k, v in base.items()}
+    frames["x_m"] = frames["x_m"] + rng.normal(0, 0.3, (B, 1)).astype(np.float32)
+    frames["y_m"] = frames["y_m"] + rng.normal(0, 0.3, (B, 1)).astype(np.float32)
+    frames["yaw_deg"] = np.mod(
+        frames["yaw_deg"] + rng.uniform(-180, 180, (B, 1)).astype(np.float32) + 180.0,
+        360.0,
+    ) - 180.0
+
+    mesh = make_mesh()
+    frames = shard_batch(frames, mesh)
+
+    run = lambda: _replay_batched_with_metrics(frames, UL_PROFILE, DEFAULT_GEOM)
+
+    def sync(state):
+        # block_until_ready does not reliably block through the axon TPU
+        # tunnel; fetching a tiny on-device reduction forces completion.
+        import jax.numpy as jnp
+        return int(np.asarray(jnp.sum(state.grid.astype(jnp.int32))))
+
+    # compile + warmup
+    state, outs, metrics = run()
+    checksum = sync(state)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, outs, metrics = run()
+        checksum = sync(state)
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    fps = B * T / dt
+    ref_fps = 10.0  # reference fused-frame rate (BASELINE.md)
+    print(json.dumps({
+        "metric": "fused_sensor_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ref_fps, 1),
+    }))
+    print(
+        f"# B={B} T={T} reps={reps} best={dt*1e3:.1f} ms "
+        f"devices={len(jax.devices())} backend={jax.default_backend()} "
+        f"frames_used={int(metrics['frames_used'])}/{int(metrics['frames_total'])} "
+        f"grid_checksum={checksum}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

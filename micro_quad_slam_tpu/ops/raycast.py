@@ -175,18 +175,28 @@ def window_scan_update(
     geom: GridGeom = DEFAULT_GEOM,
 ) -> jnp.ndarray:
     """Apply one scan's 32 rays to the [win_rows, win_cols] int8 window
-    centered at (win_r, win_r), with exact sequential-clamp semantics."""
+    centered at (win_r, win_r), with exact sequential-clamp semantics.
+
+    The ray loop is PYTHON-UNROLLED (not fori_loop) so XLA fuses the whole
+    224-op elementwise chain into a handful of kernels instead of
+    materializing the (P, maxP, minP) carries in HBM 32 times; carries are
+    int8 (per-scan range is [-32, +48]).  Per-ray full-window work is 6
+    ops: two membership compares against sentinel-masked minor-offset
+    vectors, a select, a broadcast endpoint test, the delta select, and
+    the prefix updates."""
     R = geom.win_r
     rows = lax.broadcasted_iota(jnp.int32, (geom.win_rows, 1), 0) - R   # v (y)
     colr = lax.broadcasted_iota(jnp.int32, (1, geom.win_cols), 1) - R   # u (x)
 
     exs, eys = rays["ex"], rays["ey"]
     eds, vals = rays["end_delta"], rays["valid"]
-    free_dec = jnp.int32(cfg.lo_free_dec)
+    free_dec = jnp.int8(cfg.lo_free_dec)
+    SENT = jnp.int32(127)  # impossible minor-offset: masks non-membership
 
-    def body(r, carry):
-        P, mx, mn = carry
-        ex, ey, ed = exs[r], eys[r], eds[r]
+    z8 = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int8)
+    P, mx, mn = z8, z8, z8
+    for r in range(32):
+        ex, ey, ed = exs[r], eys[r], eds[r].astype(jnp.int8)
         val = vals[r]
         dx, dy = jnp.abs(ex), jnp.abs(ey)
         sx = jnp.where(ex > 0, 1, -1)
@@ -194,24 +204,28 @@ def window_scan_update(
         kx = colr * sx            # [1, C]
         ky = rows * sy            # [R, 1]
         xmaj = dx >= dy
-        # minor-axis offset along the dominant axis (closed-form Bresenham)
+        # minor-axis offset along the dominant axis (closed-form Bresenham),
+        # sentinel-masked outside the ray extent / when the ray is invalid
+        # or the other axis is dominant -> membership is ONE compare each.
         mX = (2 * kx * dy + dx) // jnp.maximum(2 * dx, 1)   # [1, C]
         mY = (2 * ky * dx + dy) // jnp.maximum(2 * dy, 1)   # [R, 1]
-        memX = (ky == mX) & (kx >= 0) & (kx <= dx)
-        memY = (kx == mY) & (ky >= 0) & (ky <= dy)
-        member = jnp.where(xmaj, memX, memY) & val
-        is_end = (colr == ex) & (rows == ey)
-        delta = jnp.where(member, jnp.where(is_end, ed, -free_dec), 0)
+        okX = (kx >= 0) & (kx <= dx) & xmaj & val
+        okY = (ky >= 0) & (ky <= dy) & (~xmaj) & val
+        mX = jnp.where(okX, mX, SENT)
+        mY = jnp.where(okY, mY, SENT)
+        member = (ky == mX) | (kx == mY)                    # [R, C]
+        is_end = (colr == ex) & (rows == ey)                # [R, C] broadcast
+        delta = jnp.where(member, jnp.where(is_end, ed, -free_dec),
+                          jnp.int8(0))
         P = P + delta
-        return P, jnp.maximum(mx, P), jnp.minimum(mn, P)
+        mx = jnp.maximum(mx, P)
+        mn = jnp.minimum(mn, P)
 
-    z = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
-    P, mx, mn = lax.fori_loop(0, 32, body, (z, z, z))
-
-    v0 = window.astype(jnp.int32)
-    mid = v0 + P
-    up = jnp.int32(cfg.lo_max) + P - mx
-    lo = jnp.int32(cfg.lo_min) + P - mn
+    v0 = window.astype(jnp.int16)
+    P16, mx16, mn16 = (a.astype(jnp.int16) for a in (P, mx, mn))
+    mid = v0 + P16
+    up = jnp.int16(cfg.lo_max) + P16 - mx16
+    lo = jnp.int16(cfg.lo_min) + P16 - mn16
     return jnp.maximum(jnp.minimum(mid, up), lo).astype(jnp.int8)
 
 
@@ -236,20 +250,12 @@ def apply_scan_to_grid(
     return lax.dynamic_update_slice(padded_grid, win, (r0, c0))
 
 
-def recenter_grid(
-    padded_grid: jnp.ndarray,
-    origin_x, origin_y,
-    x_m, y_m,
-    pose_ok,
-    cfg: MapConfig = MapConfig(),
-    geom: GridGeom = DEFAULT_GEOM,
+def recenter_decide(
+    origin_x, origin_y, x_m, y_m, pose_ok, cfg: MapConfig = MapConfig(),
 ):
-    """Conditional whole-cell grid shift (uav_local_nav.c:324-353).
-
-    new[y, x] = old[y + sy, x + sx]; shift computed from the pose-origin
-    offset, clamped to +/-recenter_max_shift_cells; margins stay zero.
-    Returns (grid, origin_x, origin_y, recentered_flag).
-    """
+    """Cheap scalar part of map recentering (uav_local_nav.c:324-343):
+    shift cells (sx, sy) clamped to +/-recenter_max_shift_cells, and the
+    `do` flag.  Zero shift when not recentering."""
     half = _F32(cfg.size_m) * _F32(0.5)
     thresh = half * _F32(cfg.recenter_frac)
     dx = x_m - origin_x
@@ -260,13 +266,19 @@ def recenter_grid(
     mx = cfg.recenter_max_shift_cells
     sx = jnp.clip(jnp.round(dx / res).astype(jnp.int32), -mx, mx)
     sy = jnp.clip(jnp.round(dy / res).astype(jnp.int32), -mx, mx)
-    nonzero = (sx != 0) | (sy != 0)
-    do = need & nonzero
-    sx = jnp.where(do, sx, 0)
-    sy = jnp.where(do, sy, 0)
+    do = need & ((sx != 0) | (sy != 0))
+    return jnp.where(do, sx, 0), jnp.where(do, sy, 0), do
 
-    # shift within the padded array: out[r, c] = in[r+sy, c+sx] where both
-    # cells are in the logical region, else 0 (margins included).
+
+def recenter_apply(
+    padded_grid: jnp.ndarray, sx, sy,
+    cfg: MapConfig = MapConfig(), geom: GridGeom = DEFAULT_GEOM,
+) -> jnp.ndarray:
+    """Expensive part: whole-cell grid shift new[y, x] = old[y+sy, x+sx]
+    (uav_local_nav.c:308-322), zero where the source falls outside the
+    logical region; margins stay zero.  (sx, sy) == (0, 0) is an exact
+    no-op.  Callers should branch around this with a batch-level lax.cond
+    — recentering is rare, and this touches the full grid."""
     rolled = jnp.roll(jnp.roll(padded_grid, -sy, axis=-2), -sx, axis=-1)
     r_ids = lax.broadcasted_iota(jnp.int32, (geom.prows, 1), 0)
     c_ids = lax.broadcasted_iota(jnp.int32, (1, geom.pcols), 1)
@@ -278,9 +290,24 @@ def recenter_grid(
         (r_ids + sy >= geom.pad) & (r_ids + sy < geom.pad + geom.height)
         & (c_ids + sx >= geom.pad) & (c_ids + sx < geom.pad + geom.width)
     )
-    grid = jnp.where(in_log & src_in, rolled, jnp.int8(0))
-    grid = jnp.where(do, grid, padded_grid)
+    return jnp.where(in_log & src_in, rolled, jnp.int8(0))
 
+
+def recenter_grid(
+    padded_grid: jnp.ndarray,
+    origin_x, origin_y,
+    x_m, y_m,
+    pose_ok,
+    cfg: MapConfig = MapConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+):
+    """Conditional whole-cell grid shift (uav_local_nav.c:324-353).
+    Convenience single-quad wrapper over recenter_decide/recenter_apply.
+    Returns (grid, origin_x, origin_y, recentered_flag)."""
+    sx, sy, do = recenter_decide(origin_x, origin_y, x_m, y_m, pose_ok, cfg)
+    shifted = recenter_apply(padded_grid, sx, sy, cfg, geom)
+    grid = jnp.where(do, shifted, padded_grid)
+    res = _F32(cfg.res_m)
     origin_x = jnp.where(do, origin_x + sx.astype(jnp.float32) * res, origin_x)
     origin_y = jnp.where(do, origin_y + sy.astype(jnp.float32) * res, origin_y)
     return grid, origin_x, origin_y, do

@@ -2,8 +2,15 @@
 
 This is the minimum end-to-end slice of the framework (SURVEY.md §7 step 4):
 the reference's offline-mapping pipeline (scan ingestion call stack, SURVEY
-§3.2) recomputed from logged poses as one pure `step(state, frame) -> state`
-function, `lax.scan` over flight time, `vmap` over flights.
+§3.2) recomputed from logged poses as one pure step function.
+
+TPU-first structure: ONE `lax.scan` over time with the whole batch inside
+each step (not vmap-of-scan).  This (a) amortizes per-step dispatch over
+all B quads, and (b) lets the rare full-grid recenter hide behind a
+batch-level `lax.cond` — under vmap-of-scan the cond would decay to a
+select that pays the full-grid shift every frame for every quad; with the
+batch inside the step the predicate `any(do)` is a true scalar and XLA
+emits a real branch, so the common path never touches whole grids.
 
 Replay policy (identical to golden_replay_mapping so the two bit-match;
 see micro_quad_slam_tpu/golden/model.py for the scanrec-field proxies):
@@ -33,7 +40,8 @@ from micro_quad_slam_tpu.ops.raycast import (
     DEFAULT_GEOM,
     GridGeom,
     apply_scan_to_grid,
-    recenter_grid,
+    recenter_apply,
+    recenter_decide,
 )
 from micro_quad_slam_tpu.utils.config import PipelineConfig, UL_PROFILE
 
@@ -53,20 +61,23 @@ KF_MAP_RECENTER = 1 << 5
 
 
 class MappingState(NamedTuple):
-    grid: jnp.ndarray       # int8 [prows, pcols] padded occupancy grid
-    origin_x: jnp.ndarray   # f32 map origin (world NED x at grid center)
+    """Per-quad mapper state; every field carries a leading batch dim [B]
+    (B == () for the single-flight wrappers)."""
+
+    grid: jnp.ndarray       # int8 [B, prows, pcols] padded occupancy grid
+    origin_x: jnp.ndarray   # f32 [B] map origin (world NED at grid center)
     origin_y: jnp.ndarray
-    inited: jnp.ndarray     # bool
-    filt: jnp.ndarray       # f32 [4] EMA'd per-direction ToF minima
+    inited: jnp.ndarray     # bool [B]
+    filt: jnp.ndarray       # f32 [B, 4] EMA'd per-direction ToF minima
 
 
-def mapping_init(geom: GridGeom = DEFAULT_GEOM) -> MappingState:
+def mapping_init(batch: int = 1, geom: GridGeom = DEFAULT_GEOM) -> MappingState:
     return MappingState(
-        grid=jnp.zeros((geom.prows, geom.pcols), jnp.int8),
-        origin_x=jnp.float32(jnp.nan),
-        origin_y=jnp.float32(jnp.nan),
-        inited=jnp.array(False),
-        filt=jnp.full(4, jnp.nan, jnp.float32),
+        grid=jnp.zeros((batch, geom.prows, geom.pcols), jnp.int8),
+        origin_x=jnp.full((batch,), jnp.nan, jnp.float32),
+        origin_y=jnp.full((batch,), jnp.nan, jnp.float32),
+        inited=jnp.zeros((batch,), bool),
+        filt=jnp.full((batch, 4), jnp.nan, jnp.float32),
     )
 
 
@@ -96,10 +107,12 @@ def mapping_step(
     cfg: PipelineConfig = UL_PROFILE,
     geom: GridGeom = DEFAULT_GEOM,
 ):
-    """One scanrec through the mapper.  `frame` carries either a raw
-    `grid_mm` u16 [4,8,8] or precomputed `beams`/`minima` (the batched
-    path extracts beams for all frames up-front — embarrassingly parallel,
-    outside the sequential scan)."""
+    """One scanrec (for the whole [B] batch) through the mapper.
+
+    `frame` holds [B]-leading arrays: either raw `grid_mm` u16 [B,4,8,8]
+    or precomputed `beams`/`minima` (the replay driver extracts beams for
+    all frames up-front — embarrassingly parallel, outside the scan).
+    """
     if "beams" in frame:
         beams, minima = frame["beams"], frame["minima"]
     else:
@@ -118,25 +131,37 @@ def mapping_step(
     origin_y = jnp.where(do_init, y, state.origin_y)
     inited = state.inited | do_init
 
-    # recenter (uav_local_nav.c:1629-1631)
-    grid, origin_x, origin_y, recentered = recenter_grid(
-        state.grid, origin_x, origin_y, x, y,
-        pose_finite & inited, cfg.map, geom,
+    # recenter (uav_local_nav.c:1629-1631): cheap per-quad decision, full
+    # grid shift only behind a real branch when ANY quad needs it.
+    sx, sy, do_rc = recenter_decide(
+        origin_x, origin_y, x, y, pose_finite & inited, cfg.map
     )
+    grid = lax.cond(
+        do_rc.any(),
+        lambda g: jax.vmap(
+            lambda gi, sxi, syi: recenter_apply(gi, sxi, syi, cfg.map, geom)
+        )(g, sx, sy),
+        lambda g: g,
+        state.grid,
+    )
+    res = _F32(cfg.map.res_m)
+    origin_x = origin_x + sx.astype(jnp.float32) * res
+    origin_y = origin_y + sy.astype(jnp.float32) * res
 
     enabled = inited & pose_good_for_mapping(
         x, yaw, frame["of_q"].astype(jnp.int32), frame["of_rate_x"],
         frame["sys_health"], cfg.gates.of_min_quality,
     )
-    grid = apply_scan_to_grid(
-        grid, beams, x, y, yaw, origin_x, origin_y, enabled,
-        cfg.map, cfg.tof, geom,
-    )
+    grid = jax.vmap(
+        lambda gi, b, xi, yi, yawi, oxi, oyi, en: apply_scan_to_grid(
+            gi, b, xi, yi, yawi, oxi, oyi, en, cfg.map, cfg.tof, geom
+        )
+    )(grid, beams, x, y, yaw, origin_x, origin_y, enabled)
 
     new_state = MappingState(grid, origin_x, origin_y, inited, filt)
     out = {
         "used": enabled,
-        "kf_flags": jnp.where(recentered, jnp.uint8(KF_MAP_RECENTER),
+        "kf_flags": jnp.where(do_rc, jnp.uint8(KF_MAP_RECENTER),
                               jnp.uint8(0)),
         "filt": filt,
     }
@@ -157,33 +182,44 @@ def scanlog_to_arrays(scanlog) -> dict:
     }
 
 
-def _replay(frames: dict, cfg: PipelineConfig, geom: GridGeom):
-    # beams for every frame at once (parallel), then scan the sequential part
+_SEQ_KEYS = ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health", "state")
+
+
+def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom):
+    """frames: dict of [B, T, ...] arrays -> (MappingState [B], outs [B, T])."""
+    B, T = frames["x_m"].shape
+    # beams for every (flight, frame) at once — parallel, outside the scan
     beams, minima = extract_beams(frames["grid_mm"], cfg.tof)
-    seq = {k: frames[k] for k in
-           ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health", "state")}
-    seq["beams"] = beams
-    seq["minima"] = minima
+    seq = {k: jnp.moveaxis(frames[k], 0, 1) for k in _SEQ_KEYS}  # [T, B, ...]
+    seq["beams"] = jnp.moveaxis(beams, 0, 1)
+    seq["minima"] = jnp.moveaxis(minima, 0, 1)
 
     def step(st, fr):
         return mapping_step(st, fr, cfg, geom)
 
-    return lax.scan(step, mapping_init(geom), seq)
-
-
-@partial(jax.jit, static_argnums=(1, 2))
-def replay_mapping(frames: dict, cfg: PipelineConfig = UL_PROFILE,
-                   geom: GridGeom = DEFAULT_GEOM):
-    """Replay one flight: frames dict of [T] arrays -> (MappingState, outs).
-
-    jit-compiled with the config static; reuse the same cfg object to hit
-    the compile cache.
-    """
-    return _replay(frames, cfg, geom)
+    state, outs = lax.scan(step, mapping_init(B, geom), seq)
+    outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}  # [B, T, ...]
+    return state, outs
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def replay_mapping_batched(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                            geom: GridGeom = DEFAULT_GEOM):
-    """vmap over a batch of flights: frames dict of [B, T] arrays."""
-    return jax.vmap(lambda f: _replay(f, cfg, geom))(frames)
+    """Batched replay: frames dict of [B, T, ...] arrays."""
+    return _replay_batched(frames, cfg, geom)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def replay_mapping(frames: dict, cfg: PipelineConfig = UL_PROFILE,
+                   geom: GridGeom = DEFAULT_GEOM):
+    """Replay one flight: frames dict of [T, ...] arrays.
+
+    Returns (MappingState without the batch dim, outs of [T, ...]).
+    jit-compiled with the config static; reuse the same cfg object to hit
+    the compile cache.
+    """
+    frames_b = {k: v[None] for k, v in frames.items()}
+    state, outs = _replay_batched(frames_b, cfg, geom)
+    state = MappingState(*(v[0] for v in state))
+    outs = {k: v[0] for k, v in outs.items()}
+    return state, outs

@@ -80,6 +80,7 @@ def synth_room_scanlog(
     dt_ms: int = 100,
     tof: TofConfig = TofConfig(),
     state: int = ST_HOVER,
+    with_flow: bool = False,
     rng: Optional[np.random.Generator] = None,
 ) -> ScanLog:
     """Generate a reference-format ScanLog of a flight inside a room.
@@ -136,20 +137,38 @@ def synth_room_scanlog(
                         0xFFFF if v > 60000 else max(1, int(round(v)))
                     )
 
-    nan = np.full(T, np.nan, np.float32)
+    # flow rates consistent with the path: body velocity / height, in the
+    # reference's displacement convention (v_body = rate * ground,
+    # uav_local_nav.c:1159-1165).  Central-difference world velocity.
+    alt = 0.5
+    if with_flow:
+        dt_s = dt_ms * 1e-3
+        vx = np.gradient(xs.astype(np.float64), dt_s)
+        vy = np.gradient(ys.astype(np.float64), dt_s)
+        yaw_r = np.radians(yaws.astype(np.float64))
+        vbx = np.cos(yaw_r) * vx + np.sin(yaw_r) * vy
+        vby = -np.sin(yaw_r) * vx + np.cos(yaw_r) * vy
+        of_rx = (vbx / alt).astype(np.float32)
+        of_ry = (vby / alt).astype(np.float32)
+        of_q = np.full(T, 90, np.uint8)
+    else:
+        of_rx = np.full(T, np.nan, np.float32)
+        of_ry = np.full(T, np.nan, np.float32)
+        of_q = np.zeros(T, np.uint8)
+
     return ScanLog(
         host_ms=t_ms.copy(),
         scan_ms=t_ms.copy(),
         x_m=xs,
         y_m=ys,
         yaw_deg=yaws,
-        alt_m=np.full(T, 0.5, np.float32),
+        alt_m=np.full(T, alt, np.float32),
         roll_rad=np.zeros(T, np.float32),
         pitch_rad=np.zeros(T, np.float32),
-        rf_m=np.full(T, 0.5, np.float32),
-        of_rate_x=nan.copy(),
-        of_rate_y=nan.copy(),
-        of_q=np.zeros(T, np.uint8),
+        rf_m=np.full(T, alt, np.float32),
+        of_rate_x=of_rx,
+        of_rate_y=of_ry,
+        of_q=of_q,
         state=np.full(T, state, np.uint8),
         kf_flags=np.zeros(T, np.uint8),
         sys_health=np.zeros(T, np.uint32),

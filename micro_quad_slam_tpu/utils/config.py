@@ -196,8 +196,8 @@ class EkfConfig:
 
     # state: [x, y, vx, vy]; flow gives velocity, attitude gives yaw.
     q_pos: float = 1e-4       # process noise on position (m^2 / step)
-    q_vel: float = 5e-3       # process noise on velocity
-    r_flow_vel: float = 2.5e-2  # flow-derived velocity measurement noise
+    q_vel: float = 0.4       # process noise on velocity
+    r_flow_vel: float = 1e-2  # flow-derived velocity measurement noise
     r_zero_vel: float = 1.0     # weak zero-velocity prior when flow is bad
     min_flow_quality: int = 50
     min_ground_m: float = 0.05
