@@ -10,7 +10,9 @@ vs_baseline is the multiple of the reference pipeline's own fused-frame
 rate (~10 frames/s on the companion SBC, BASELINE.md).
 
 Env knobs: MQS_BENCH_B (batch, default 256), MQS_BENCH_T (frames/log,
-default 256), MQS_BENCH_REPS (timed reps, default 3).
+default 256), MQS_BENCH_REPS (timed reps, default 3),
+MQS_BENCH_MODE=replay|swarm (default replay; swarm = closed-loop
+simulator, BASELINE config 5: quads x 1 kHz control ticks).
 """
 
 import json
@@ -21,7 +23,52 @@ import time
 import numpy as np
 
 
+def sync_scalar(x) -> int:
+    """Force completion through the axon tunnel (block_until_ready does not
+    reliably block there): fetch a tiny on-device reduction."""
+    import jax.numpy as jnp
+    return int(np.asarray(jnp.sum(x.astype(jnp.int32))))
+
+
+def bench_swarm(B: int, T: int, reps: int) -> None:
+    import jax
+    from micro_quad_slam_tpu.models.simulator import make_world, sim_init, sim_run
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    world = make_world(B, room=(-3.5, -3.5, 3.5, 3.5),
+                       obstacles=[(1.5, -0.5, 2.5, 0.5)])
+    st0 = sim_init(B, jax.random.PRNGKey(0), spread_m=0.5)
+    # 1 kHz control ticks; ToF scans every 100 ms as in the reference
+    run = lambda s: sim_run(s, world, T, UL_PROFILE, dt_ms=1,
+                            scan_period_ms=100)[0]
+    st = run(st0)
+    checksum = sync_scalar(st.mapper.grid)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        st = run(st0)
+        checksum = sync_scalar(st.mapper.grid)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    tps = B * T / dt
+    print(json.dumps({
+        "metric": "swarm_control_ticks_per_sec_per_chip",
+        "value": round(tps, 1),
+        "unit": "quad-ticks/s",
+        # north star: 1024 quads at 1 kHz = 1.024M quad-ticks/s
+        "vs_baseline": round(tps / 1.024e6, 3),
+    }))
+    print(f"# swarm B={B} T={T} best={dt*1e3:.1f} ms backend={jax.default_backend()} "
+          f"checksum={checksum}", file=sys.stderr)
+
+
 def main() -> None:
+    mode = os.environ.get("MQS_BENCH_MODE", "replay")
+    if mode == "swarm":
+        bench_swarm(int(os.environ.get("MQS_BENCH_B", "1024")),
+                    int(os.environ.get("MQS_BENCH_T", "1000")),
+                    int(os.environ.get("MQS_BENCH_REPS", "2")))
+        return
     import jax
 
     from micro_quad_slam_tpu.parallel.mesh import (

@@ -1,0 +1,131 @@
+"""Correlative scan matching: refine a pose guess against the occupancy
+grid (new capability — the reference dead-reckons on the FC's EKF with no
+drift correction; BASELINE.json config 4 adds scan-matching + pose-graph
+refinement on top).
+
+TPU-first design: instead of an iterative point-to-plane ICP with
+data-dependent convergence, score a STATIC dense candidate lattice
+(translations x rotations around the guess) in one shot — every candidate
+evaluates all 32 beam endpoints against the grid in parallel, the argmax
+wins, and a quadratic fit around the peak gives sub-cell resolution.
+Fixed shapes, no loops, vmaps over quads.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM, GridGeom, world_to_cell
+from micro_quad_slam_tpu.utils.config import MapConfig, TofConfig
+
+_F32 = np.float32
+_DEG2RAD = _F32(np.pi / 180.0)
+
+
+class MatchResult(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    yaw_deg: jnp.ndarray
+    score: jnp.ndarray       # best lattice score (sum of endpoint log-odds)
+    quality: jnp.ndarray     # peak minus mean score (confidence proxy)
+
+
+def _endpoints_world(beams, x, y, yaw_deg, tof: TofConfig):
+    """Hit endpoints [32, 2] + hit mask [32] for one scan (same fan
+    geometry as the mapper, uav_local_nav.c:280-301)."""
+    half_fov = _F32(tof.half_fov_deg)
+    u = (np.arange(8, dtype=np.float32) - _F32(3.5)) / _F32(3.5)
+    centers = np.asarray(tof.dir_center_deg, np.float32)
+    dist = beams.reshape(4, 8)
+    hit = (~jnp.isnan(dist)) & (dist > _F32(tof.map_skip_below_m)) & (
+        dist < _F32(tof.max_range_m) - _F32(tof.hit_margin_m))
+    d = jnp.where(hit, dist, 0.0)
+    ang = ((yaw_deg + centers[:, None]) + (u * half_fov)[None, :]) * _DEG2RAD
+    ex = x + d * jnp.cos(ang)
+    ey = y + d * jnp.sin(ang)
+    return (jnp.stack([ex.reshape(32), ey.reshape(32)], axis=-1),
+            hit.reshape(32))
+
+
+def match_scan(
+    padded_grid: jnp.ndarray,
+    beams: jnp.ndarray,
+    x_guess, y_guess, yaw_guess_deg,
+    origin_x, origin_y,
+    cfg: MapConfig = MapConfig(),
+    tof: TofConfig = TofConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+    n_xy: int = 7,           # translation lattice (n_xy x n_xy), odd
+    n_yaw: int = 7,          # rotation lattice, odd
+    xy_step_m: float = 0.05,
+    yaw_step_deg: float = 1.0,
+) -> MatchResult:
+    """Score (n_yaw * n_xy^2) candidate poses; return the refined pose.
+
+    Score of a candidate = sum over hit endpoints of the int8 log-odds at
+    the endpoint cell — maximized when endpoints land on occupied cells.
+    Sub-cell refinement: 1-D quadratic fit through the peak along each
+    lattice axis.
+    """
+    offs_xy = (np.arange(n_xy, dtype=np.float32) - (n_xy - 1) / 2) * _F32(xy_step_m)
+    offs_yaw = (np.arange(n_yaw, dtype=np.float32) - (n_yaw - 1) / 2) * _F32(yaw_step_deg)
+
+    def yaw_endpoints(dyaw):
+        pts, hit = _endpoints_world(beams, x_guess, y_guess,
+                                    yaw_guess_deg + dyaw, tof)
+        return pts, hit
+
+    pts, hit = lax.map(yaw_endpoints, jnp.asarray(offs_yaw))   # [Y, 32, 2], [Y, 32]
+
+    # candidate endpoint cells: [Y, 32] base + [Tx] x [Ty] world offsets
+    ex = pts[..., 0][:, None, None, :] + offs_xy[None, :, None, None]
+    ey = pts[..., 1][:, None, None, :] + offs_xy[None, None, :, None]
+    cx, cy = world_to_cell(ex, ey, origin_x, origin_y, cfg.res_m,
+                           cfg.width // 2, cfg.height // 2)
+    inb = (cx >= 0) & (cx < cfg.width) & (cy >= 0) & (cy < cfg.height)
+    cxs = jnp.clip(cx, 0, cfg.width - 1) + geom.pad
+    cys = jnp.clip(cy, 0, cfg.height - 1) + geom.pad
+    vals = padded_grid[cys, cxs].astype(jnp.float32)           # gather
+    w = (hit[:, None, None, :] & inb).astype(jnp.float32)
+    scores = (vals * w).sum(axis=-1)                           # [Y, Tx, Ty]
+
+    flat = scores.reshape(-1)
+    best = jnp.argmax(flat)
+    Y, TX, TY = scores.shape
+    iy = best // (TX * TY)
+    ix = (best // TY) % TX
+    it = best % TY
+
+    def subcell(arr_1d, idx, step):
+        """Quadratic peak interpolation along one axis, clamped at edges."""
+        n = arr_1d.shape[0]
+        i0 = jnp.clip(idx, 1, n - 2)
+        ym = arr_1d[i0 - 1]
+        y0 = arr_1d[i0]
+        yp = arr_1d[i0 + 1]
+        denom = ym - 2 * y0 + yp
+        d = jnp.where(jnp.abs(denom) > 1e-6,
+                      _F32(0.5) * (ym - yp) / denom, 0.0)
+        d = jnp.clip(d, -1.0, 1.0)
+        interior = (idx >= 1) & (idx <= n - 2)
+        return (idx.astype(jnp.float32)
+                + jnp.where(interior, d, 0.0) - (n - 1) / 2) * _F32(step)
+
+    dyaw = subcell(scores[:, ix, it], iy, yaw_step_deg)
+    dx = subcell(scores[iy, :, it], ix, xy_step_m)
+    dy = subcell(scores[iy, ix, :], it, xy_step_m)
+
+    nhit = jnp.maximum(hit.sum(axis=-1)[iy].astype(jnp.float32), 1.0)
+    quality = (flat[best] - flat.mean()) / nhit
+    return MatchResult(
+        x=x_guess + dx,
+        y=y_guess + dy,
+        yaw_deg=yaw_guess_deg + dyaw,
+        score=flat[best],
+        quality=quality,
+    )

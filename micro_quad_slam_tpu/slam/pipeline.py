@@ -1,0 +1,184 @@
+"""Full SLAM replay (BASELINE.json config 4): scan-matching + pose-graph
+Gauss-Newton loop closure over a complete flight, drift-corrected map.
+
+The reference dead-reckons on the FC EKF's LOCAL_POSITION_NED and its map
+silently smears under drift (SURVEY.md §7 step 7).  This pipeline adds the
+missing back-end in three passes, all on-device:
+
+  pass 1  (sequential, lax.scan over frames, batch inside the step):
+          EKF odometry -> pose guess; on keyframe ticks, correlative
+          scan-match against the map built so far (ops/scanmatch.py)
+          corrects the guess before the fused raycast update.  The
+          keyframe cadence is shared across the batch so the expensive
+          match hides behind a scalar lax.cond.
+  pass 2  (parallel): build an SE(2) pose graph per flight — odometry
+          edges between consecutive keyframes + match-anchor edges — and
+          run batched dense Gauss-Newton (slam/posegraph.py).
+  pass 3  (sequential): re-raster the map from the corrected track.
+
+Keyframe poses between graph nodes are corrected rigidly relative to the
+owning keyframe (standard pose-graph interpolation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from micro_quad_slam_tpu.ops.beams import extract_beams
+from micro_quad_slam_tpu.ops.ekf import ekf_init, ekf_step
+from micro_quad_slam_tpu.ops.raycast import (
+    DEFAULT_GEOM,
+    GridGeom,
+    apply_scan_to_grid,
+)
+from micro_quad_slam_tpu.ops.scanmatch import match_scan
+from micro_quad_slam_tpu.slam.posegraph import (
+    PoseGraph,
+    add_edges,
+    chain_odometry_graph,
+    gauss_newton,
+    se2_compose,
+    se2_relative,
+)
+from micro_quad_slam_tpu.utils.config import PipelineConfig, UL_PROFILE
+
+_F32 = np.float32
+
+
+def _ekf_track(frames, cfg):
+    """Batched EKF odometry: [B, T] frames -> poses f32 [B, T, 3]."""
+    B, T = frames["of_rate_x"].shape
+    ms = frames["scan_ms"].astype(jnp.int32)
+    dt = jnp.clip(jnp.diff(ms, axis=1, prepend=ms[:, :1]).astype(jnp.float32)
+                  * _F32(1e-3), 0.0, 1.0)
+    x0 = jnp.nan_to_num(frames["x_m"][:, 0])
+    y0 = jnp.nan_to_num(frames["y_m"][:, 0])
+    st = ekf_init((B,))
+    st = st._replace(mean=st.mean.at[:, 0].set(x0).at[:, 1].set(y0))
+    yaw = jnp.deg2rad(frames["yaw_deg"])
+
+    def step(s, f):
+        s, _ = ekf_step(s, f["dt"], f["rx"], f["ry"], f["q"], f["rf"],
+                        f["yaw"], cfg.ekf)
+        return s, s.mean[..., :2]
+
+    seq = {
+        "dt": jnp.moveaxis(dt, 0, 1),
+        "rx": jnp.moveaxis(frames["of_rate_x"], 0, 1),
+        "ry": jnp.moveaxis(frames["of_rate_y"], 0, 1),
+        "q": jnp.moveaxis(frames["of_q"].astype(jnp.int32), 0, 1),
+        "rf": jnp.moveaxis(frames["rf_m"], 0, 1),
+        "yaw": jnp.moveaxis(yaw, 0, 1),
+    }
+    _, xy = lax.scan(step, st, seq)
+    xy = jnp.moveaxis(xy, 0, 1)                      # [B, T, 2]
+    return jnp.concatenate([xy, yaw[..., None]], axis=-1)
+
+
+def _map_pass(beams, poses, inited_from, cfg, geom, match: bool,
+              kf_mask_t, match_out=None):
+    """One sequential mapping pass.  poses [B, T, 3] (theta in rad).
+    If match=True, keyframe ticks scan-match the pose against the grid
+    before updating and the corrected poses are recorded."""
+    B, T = poses.shape[:2]
+    grid0 = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+    ox0 = poses[:, 0, 0]
+    oy0 = poses[:, 0, 1]
+
+    def step(carry, inp):
+        grid, = carry
+        b, pose, kf_due = inp["beams"], inp["pose"], inp["kf"]
+        x, yw = pose[..., 0], pose[..., 2]
+        y = pose[..., 1]
+        yaw_deg = jnp.rad2deg(yw)
+
+        def do_match(args):
+            grid, x, y, yaw_deg = args
+            res = jax.vmap(
+                lambda g, bb, xi, yi, yi2: match_scan(
+                    g, bb, xi, yi, yi2, ox0_, oy0_, cfg.map, cfg.tof, geom)
+            )(grid, b, x, y, yaw_deg)
+            ok = res.quality > _F32(3.0)
+            return (jnp.where(ok, res.x, x), jnp.where(ok, res.y, y),
+                    jnp.where(ok, res.yaw_deg, yaw_deg))
+
+        ox0_, oy0_ = ox0, oy0
+        if match:
+            x, y, yaw_deg = lax.cond(
+                kf_due, do_match, lambda a: (a[1], a[2], a[3]),
+                (grid, x, y, yaw_deg))
+
+        grid = jax.vmap(
+            lambda gi, bb, xi, yi, yawi, oxi, oyi: apply_scan_to_grid(
+                gi, bb, xi, yi, yawi, oxi, oyi, True, cfg.map, cfg.tof, geom)
+        )(grid, b, x, y, yaw_deg, ox0, oy0)
+        out = jnp.stack([x, y, jnp.deg2rad(yaw_deg)], axis=-1)
+        return (grid,), out
+
+    seq = {
+        "beams": jnp.moveaxis(beams, 0, 1),
+        "pose": jnp.moveaxis(poses, 0, 1),
+        "kf": kf_mask_t,
+    }
+    (grid,), corrected = lax.scan(step, (grid0,), seq)
+    return grid, jnp.moveaxis(corrected, 0, 1), (ox0, oy0)
+
+
+class SlamResult(NamedTuple):
+    grid: jnp.ndarray            # drift-corrected map [B, prows, pcols]
+    track: jnp.ndarray           # corrected poses [B, T, 3] (rad)
+    odo_track: jnp.ndarray       # raw EKF odometry [B, T, 3]
+    kf_idx: jnp.ndarray          # keyframe frame indices [K]
+    kf_nodes: jnp.ndarray        # optimized keyframe poses [B, K, 3]
+    gn_costs: jnp.ndarray        # GN cost per iteration [B, iters]
+    origin: tuple                # (origin_x [B], origin_y [B])
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def slam_replay(frames: dict, cfg: PipelineConfig = UL_PROFILE,
+                geom: GridGeom = DEFAULT_GEOM, kf_every: int = 10,
+                gn_iters: int = 8) -> SlamResult:
+    """frames: dict of [B, T] scanlog arrays (scanlog_to_arrays +
+    fusion_arrays union).  Returns the drift-corrected map and track."""
+    B, T = frames["x_m"].shape
+    beams, _ = extract_beams(frames["grid_mm"], cfg.tof)
+
+    # pass 0: EKF odometry
+    odo = _ekf_track(frames, cfg)                     # [B, T, 3]
+
+    # keyframe cadence shared across the batch (scalar cond in the scan)
+    kf_mask = (jnp.arange(T) % kf_every) == 0
+    kf_idx = jnp.arange(0, T, kf_every)
+    K = kf_idx.shape[0]
+
+    # pass 1: scan-matched mapping
+    _, matched, (ox, oy) = _map_pass(beams, odo, 0, cfg, geom, True, kf_mask)
+
+    # pass 2: pose graph = odometry edges + match anchors
+    def build_and_solve(odo_b, matched_b):
+        g = chain_odometry_graph(odo_b, kf_idx)
+        anchors = se2_relative(matched_b[kf_idx][0][None].repeat(K - 1, 0),
+                               matched_b[kf_idx][1:])
+        ij = jnp.stack([jnp.zeros(K - 1, jnp.int32),
+                        jnp.arange(1, K, dtype=jnp.int32)], axis=-1)
+        g = add_edges(g, ij, anchors, (30.0, 30.0, 120.0))
+        g = g._replace(nodes=g.nodes.at[0].set(matched_b[kf_idx][0]))
+        g, costs = gauss_newton(g, iters=gn_iters)
+        return g.nodes, costs
+
+    kf_nodes, gn_costs = jax.vmap(build_and_solve)(odo, matched)
+
+    # correct all frames rigidly relative to their owning keyframe
+    owner = jnp.clip(jnp.arange(T) // kf_every, 0, K - 1)
+    rel = se2_relative(odo[:, kf_idx][:, owner], odo)       # [B, T, 3]
+    track = se2_compose(kf_nodes[:, owner], rel)
+
+    # pass 3: re-raster from the corrected track
+    grid, _, origin = _map_pass(beams, track, 0, cfg, geom, False, kf_mask)
+    return SlamResult(grid, track, odo, kf_idx, kf_nodes, gn_costs, origin)

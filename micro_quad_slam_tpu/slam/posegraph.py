@@ -1,0 +1,177 @@
+"""SE(2) pose-graph optimization by Gauss-Newton — batched dense linear
+algebra on the MXU (new capability; BASELINE.json config 4 replaces the
+reference's dead-reckoning drift with keyframe graph refinement, seeded by
+the keyframe flags the reference already logs, uav_local_nav.c:218-229).
+
+Graph: K keyframe nodes (x, y, theta), E relative-pose edges
+(odometry between consecutive keyframes + scan-match/loop-closure
+constraints).  Residual of edge (i -> j) with measurement z:
+
+    r = [R(th_i)^T (t_j - t_i) - z_t,  wrap(th_j - th_i - z_th)]
+
+Gauss-Newton with the first node pinned; the normal equations are built
+densely ([3K, 3K]) and solved with jnp.linalg.solve — K is small
+(keyframes per flight: tens to low hundreds), so the dense solve batches
+beautifully over thousands of flights on the MXU, which is exactly the
+scale this framework targets (vmap over the quad axis).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_F32 = np.float32
+
+
+class PoseGraph(NamedTuple):
+    nodes: jnp.ndarray     # f32 [K, 3] (x, y, theta)
+    edges_ij: jnp.ndarray  # i32 [E, 2] node indices
+    edges_z: jnp.ndarray   # f32 [E, 3] relative measurements (dx, dy, dth)
+    edges_w: jnp.ndarray   # f32 [E, 3] per-component information weights
+    edge_mask: jnp.ndarray  # bool [E] (padding support)
+
+
+def _wrap(a):
+    return jnp.mod(a + _F32(np.pi), _F32(2 * np.pi)) - _F32(np.pi)
+
+
+def se2_compose(a, b):
+    """a ⊕ b: apply relative pose b in a's frame."""
+    c, s = jnp.cos(a[..., 2]), jnp.sin(a[..., 2])
+    return jnp.stack([
+        a[..., 0] + c * b[..., 0] - s * b[..., 1],
+        a[..., 1] + s * b[..., 0] + c * b[..., 1],
+        _wrap(a[..., 2] + b[..., 2]),
+    ], axis=-1)
+
+
+def se2_relative(a, b):
+    """⊖a ⊕ b: pose of b expressed in a's frame."""
+    c, s = jnp.cos(a[..., 2]), jnp.sin(a[..., 2])
+    dx = b[..., 0] - a[..., 0]
+    dy = b[..., 1] - a[..., 1]
+    return jnp.stack([
+        c * dx + s * dy,
+        -s * dx + c * dy,
+        _wrap(b[..., 2] - a[..., 2]),
+    ], axis=-1)
+
+
+def _residuals_and_jacobians(nodes, graph: PoseGraph):
+    i = graph.edges_ij[:, 0]
+    j = graph.edges_ij[:, 1]
+    pi = nodes[i]            # [E, 3]
+    pj = nodes[j]
+    c, s = jnp.cos(pi[:, 2]), jnp.sin(pi[:, 2])
+    dx = pj[:, 0] - pi[:, 0]
+    dy = pj[:, 1] - pi[:, 1]
+    rt = jnp.stack([c * dx + s * dy, -s * dx + c * dy], axis=-1)
+    r = jnp.concatenate(
+        [rt - graph.edges_z[:, :2],
+         _wrap(pj[:, 2] - pi[:, 2] - graph.edges_z[:, 2])[:, None]], axis=-1)
+
+    # d r / d p_i and d r / d p_j  -> [E, 3, 3]
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    Ji = jnp.stack([
+        jnp.stack([-c, -s, -s * dx + c * dy], axis=-1),
+        jnp.stack([s, -c, -c * dx - s * dy], axis=-1),
+        jnp.stack([zero, zero, -one], axis=-1),
+    ], axis=-2)
+    Jj = jnp.stack([
+        jnp.stack([c, s, zero], axis=-1),
+        jnp.stack([-s, c, zero], axis=-1),
+        jnp.stack([zero, zero, one], axis=-1),
+    ], axis=-2)
+    return r, Ji, Jj
+
+
+def gauss_newton(graph: PoseGraph, iters: int = 10,
+                 damping: float = 1e-6) -> PoseGraph:
+    """Damped GN with node 0 pinned (gauge freedom).  Static iteration
+    count — every flight in the batch runs the same program."""
+    K = graph.nodes.shape[0]
+    i_idx = graph.edges_ij[:, 0]
+    j_idx = graph.edges_ij[:, 1]
+    wmask = graph.edges_w * graph.edge_mask[:, None].astype(jnp.float32)
+
+    def step(nodes, _):
+        r, Ji, Jj = _residuals_and_jacobians(nodes, graph)
+        rw = r * wmask                                   # weighted residuals
+        # normal equations H dx = -b, assembled by scatter-add
+        H = jnp.zeros((K * 3, K * 3), jnp.float32)
+        b = jnp.zeros((K * 3,), jnp.float32)
+
+        JiW = Ji * wmask[:, :, None]
+        JjW = Jj * wmask[:, :, None]
+        Hii = jnp.einsum("eki,ekj->eij", JiW, Ji)
+        Hjj = jnp.einsum("eki,ekj->eij", JjW, Jj)
+        Hij = jnp.einsum("eki,ekj->eij", JiW, Jj)
+        bi = jnp.einsum("eki,ek->ei", Ji, rw)
+        bj = jnp.einsum("eki,ek->ei", Jj, rw)
+
+        def scatter_block(H, rows, cols, blk):
+            ri = rows[:, None] * 3 + jnp.arange(3)[None, :]
+            ci = cols[:, None] * 3 + jnp.arange(3)[None, :]
+            return H.at[ri[:, :, None], ci[:, None, :]].add(blk)
+
+        H = scatter_block(H, i_idx, i_idx, Hii)
+        H = scatter_block(H, j_idx, j_idx, Hjj)
+        H = scatter_block(H, i_idx, j_idx, Hij)
+        H = scatter_block(H, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2))
+        b = b.at[(i_idx[:, None] * 3 + jnp.arange(3)[None, :])].add(bi)
+        b = b.at[(j_idx[:, None] * 3 + jnp.arange(3)[None, :])].add(bj)
+
+        # pin node 0: identity rows/cols, zero rhs
+        pin = jnp.arange(3)
+        H = H.at[pin, :].set(0.0).at[:, pin].set(0.0)
+        H = H.at[pin, pin].set(1.0)
+        b = b.at[pin].set(0.0)
+        H = H + damping * jnp.eye(K * 3, dtype=jnp.float32)
+
+        dx = jnp.linalg.solve(H, -b).reshape(K, 3)
+        nodes = nodes + dx
+        nodes = nodes.at[:, 2].set(_wrap(nodes[:, 2]))
+        return nodes, jnp.sum(rw * r)
+
+    nodes, costs = jax.lax.scan(step, graph.nodes, None, length=iters)
+    return graph._replace(nodes=nodes), costs
+
+
+def chain_odometry_graph(poses, kf_idx, odo_weight=(100.0, 100.0, 400.0)):
+    """Build consecutive-keyframe odometry edges from a pose track.
+
+    poses: f32 [T, 3]; kf_idx: i32 [K] frame indices of keyframes.
+    Returns a PoseGraph whose nodes are the keyframe poses and whose edges
+    measure the between-keyframe relative transforms.
+    """
+    kf_poses = poses[kf_idx]
+    K = kf_poses.shape[0]
+    z = se2_relative(kf_poses[:-1], kf_poses[1:])
+    ij = jnp.stack([jnp.arange(K - 1), jnp.arange(1, K)], axis=-1)
+    w = jnp.broadcast_to(jnp.asarray(odo_weight, jnp.float32), (K - 1, 3))
+    return PoseGraph(
+        nodes=kf_poses,
+        edges_ij=ij.astype(jnp.int32),
+        edges_z=z,
+        edges_w=w,
+        edge_mask=jnp.ones((K - 1,), bool),
+    )
+
+
+def add_edges(graph: PoseGraph, ij, z, w, mask=None) -> PoseGraph:
+    ij = jnp.asarray(ij, jnp.int32).reshape(-1, 2)
+    z = jnp.asarray(z, jnp.float32).reshape(-1, 3)
+    w = jnp.broadcast_to(jnp.asarray(w, jnp.float32), z.shape)
+    m = jnp.ones((ij.shape[0],), bool) if mask is None else jnp.asarray(mask)
+    return graph._replace(
+        edges_ij=jnp.concatenate([graph.edges_ij, ij]),
+        edges_z=jnp.concatenate([graph.edges_z, z]),
+        edges_w=jnp.concatenate([graph.edges_w, w]),
+        edge_mask=jnp.concatenate([graph.edge_mask, m]),
+    )

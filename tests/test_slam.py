@@ -1,0 +1,158 @@
+"""SLAM back-end tests: pose-graph GN convergence and drift-corrected
+replay (BASELINE config 4).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from micro_quad_slam_tpu.ops.scanmatch import match_scan
+from micro_quad_slam_tpu.ops import logical_grid, new_padded_grid
+from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM as GEOM
+from micro_quad_slam_tpu.golden.model import GoldenMapper
+from micro_quad_slam_tpu.golden import compute_beams_and_minima
+from micro_quad_slam_tpu.replay.fusion import fusion_arrays
+from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
+from micro_quad_slam_tpu.slam import gauss_newton, se2_compose, se2_relative, slam_replay
+from micro_quad_slam_tpu.slam.posegraph import PoseGraph, add_edges, chain_odometry_graph
+from micro_quad_slam_tpu.sim import synth_room_scanlog
+from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+F32 = np.float32
+
+
+# --------------------------- SE(2) + GN units ------------------------------
+
+def test_se2_roundtrip():
+    a = jnp.asarray([1.0, 2.0, 0.7])
+    b = jnp.asarray([-0.5, 3.0, -1.2])
+    rel = se2_relative(a, b)
+    b2 = se2_compose(a, rel)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), atol=1e-5)
+
+
+def test_gauss_newton_recovers_noisy_chain():
+    rng = np.random.default_rng(0)
+    K = 12
+    # ground-truth square loop
+    truth = np.zeros((K, 3), np.float32)
+    for k in range(1, K):
+        step = np.asarray([0.5, 0.0, np.pi / 6], np.float32)
+        truth[k] = np.asarray(
+            se2_compose(jnp.asarray(truth[k - 1]), jnp.asarray(step)))
+    # noisy initial nodes
+    noisy = truth + rng.normal(0, 0.15, truth.shape).astype(np.float32)
+    noisy[:, 2] += rng.normal(0, 0.1, K).astype(np.float32)
+    noisy[0] = truth[0]
+
+    # exact odometry edges from truth
+    z = np.asarray(se2_relative(jnp.asarray(truth[:-1]), jnp.asarray(truth[1:])))
+    g = PoseGraph(
+        nodes=jnp.asarray(noisy),
+        edges_ij=jnp.stack([jnp.arange(K - 1), jnp.arange(1, K)], -1).astype(jnp.int32),
+        edges_z=jnp.asarray(z),
+        edges_w=jnp.full((K - 1, 3), 10.0, jnp.float32),
+        edge_mask=jnp.ones((K - 1,), bool),
+    )
+    g2, costs = gauss_newton(g, iters=10)
+    err0 = np.abs(noisy[:, :2] - truth[:, :2]).max()
+    err1 = np.abs(np.asarray(g2.nodes)[:, :2] - truth[:, :2]).max()
+    assert err1 < 1e-3, (err0, err1)
+    assert float(costs[-1]) < float(costs[0]) * 1e-4
+
+
+def test_gauss_newton_loop_closure_spreads_error():
+    # chain with drifting odometry + one exact loop-closure edge back to 0
+    K = 10
+    truth = np.zeros((K, 3), np.float32)
+    truth[:, 0] = np.arange(K) * 0.5
+    drift = np.cumsum(np.full(K, 0.04), 0).astype(np.float32)
+    noisy = truth.copy()
+    noisy[:, 1] += drift  # lateral drift
+    z = np.asarray(se2_relative(jnp.asarray(noisy[:-1]), jnp.asarray(noisy[1:])))
+    g = PoseGraph(
+        nodes=jnp.asarray(noisy),
+        edges_ij=jnp.stack([jnp.arange(K - 1), jnp.arange(1, K)], -1).astype(jnp.int32),
+        edges_z=jnp.asarray(z),
+        edges_w=jnp.full((K - 1, 3), 10.0, jnp.float32),
+        edge_mask=jnp.ones((K - 1,), bool),
+    )
+    # loop closure: node K-1 truly sits at truth[K-1] relative to node 0
+    lc = se2_relative(jnp.asarray(truth[0]), jnp.asarray(truth[K - 1]))
+    g = add_edges(g, [[0, K - 1]], lc[None], (200.0, 200.0, 800.0))
+    g2, _ = gauss_newton(g, iters=10)
+    end_err0 = abs(noisy[K - 1, 1] - truth[K - 1, 1])
+    end_err1 = abs(float(g2.nodes[K - 1, 1]) - truth[K - 1, 1])
+    assert end_err1 < end_err0 * 0.2
+
+
+# --------------------------- scan matching ---------------------------------
+
+def _wall_grid_and_beams(offset=(0.0, 0.0)):
+    """Build a map from a full yaw sweep (walls become continuous occupied
+    bands), then ask the matcher to localize a scan taken at pose+offset
+    given the unshifted guess."""
+    sweep = synth_room_scanlog(n_frames=60, room=(-2.0, -2.0, 2.0, 2.0),
+                               path="hover", yaw_rate_dps=60.0)
+    gm = GoldenMapper()
+    gm.init_map(0.0, 0.0)
+    for rep in range(6):
+        for tt in range(len(sweep)):
+            beams0, _ = compute_beams_and_minima(sweep.grid_mm[tt])
+            gm.map_update_from_beams(beams0, 0.0, 0.0, float(sweep.yaw_deg[tt]))
+    padded = new_padded_grid()
+    padded = padded.at[GEOM.pad:GEOM.pad + 500, GEOM.pad:GEOM.pad + 500].set(gm.grid)
+
+    # scan taken at the true (offset) pose
+    log2 = synth_room_scanlog(n_frames=1, path="hover",
+                              room=(-2.0 - offset[0], -2.0 - offset[1],
+                                    2.0 - offset[0], 2.0 - offset[1]))
+    beams1, _ = compute_beams_and_minima(log2.grid_mm[0])
+    return padded, jnp.asarray(beams1)
+
+
+def test_scanmatch_recovers_translation():
+    offset = (0.12, -0.08)
+    padded, beams = _wall_grid_and_beams(offset)
+    res = jax.jit(lambda g, b: match_scan(
+        g, b, F32(0.0), F32(0.0), F32(0.0), F32(0.0), F32(0.0)))(padded, beams)
+    # the scan was really taken at +offset in the map frame
+    assert abs(float(res.x) - offset[0]) < 0.04, float(res.x)
+    assert abs(float(res.y) - offset[1]) < 0.04, float(res.y)
+    assert abs(float(res.yaw_deg)) < 1.5
+    assert float(res.quality) > 3.0
+
+
+def test_scanmatch_centered_is_identity():
+    padded, beams = _wall_grid_and_beams((0.0, 0.0))
+    res = jax.jit(lambda g, b: match_scan(
+        g, b, F32(0.0), F32(0.0), F32(0.0), F32(0.0), F32(0.0)))(padded, beams)
+    assert abs(float(res.x)) < 0.03 and abs(float(res.y)) < 0.03
+
+
+# --------------------------- full SLAM replay ------------------------------
+
+def _drifty_frames(T=120, bias=1.06, seed=0):
+    """Flight with a flow-scale bias: EKF odometry drifts ~6%."""
+    log = synth_room_scanlog(n_frames=T, path="circle", path_radius_m=1.0,
+                             room=(-2.5, -2.5, 2.5, 2.5), with_flow=True,
+                             seed=seed)
+    log.of_rate_x[:] *= bias
+    log.of_rate_y[:] *= bias
+    f = {**scanlog_to_arrays(log), **fusion_arrays(log)}
+    return {k: v[None] for k, v in f.items()}, log
+
+
+def test_slam_reduces_drift():
+    frames, log = _drifty_frames()
+    res = slam_replay(frames, UL_PROFILE, GEOM, 10, 8)
+    truth = np.stack([log.x_m, log.y_m], -1)
+    odo_err = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - truth).T)
+    slam_err = np.hypot(*(np.asarray(res.track)[0, :, :2] - truth).T)
+    # drift grows in odometry; SLAM holds it down
+    assert odo_err[-20:].mean() > 0.05
+    assert slam_err[-20:].mean() < odo_err[-20:].mean() * 0.7, (
+        odo_err[-20:].mean(), slam_err[-20:].mean())
+    # corrected map contains walls
+    g = np.asarray(logical_grid(res.grid))[0]
+    assert (g > 10).sum() > 30
