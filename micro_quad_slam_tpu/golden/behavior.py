@@ -81,6 +81,7 @@ class Telemetry:
     have_sys: bool = False
     sys_last_ms: int = 0
     sys_health: int = 0
+    sys_enabled: int = 0xFFFFFFFF  # CL gates are enabled-bit aware (clean:906-933)
     have_servo: bool = False
     servo_last_ms: int = 0
     motor_avg: float = 0.0

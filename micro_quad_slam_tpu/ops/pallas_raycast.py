@@ -1,0 +1,172 @@
+"""Pallas TPU kernel for the fused scan -> log-odds window update.
+
+The XLA path (ops/raycast.py) expresses the 32-ray update as ~2000
+elementwise ops on [96, 128] windows; under vmap+scan XLA materializes
+intermediates and pays batched gather/scatter for the per-quad dynamic
+window slices.  This kernel owns the whole update per quad:
+
+  grid = (B,) programs, one per quad, on the single TensorCore:
+    1. DMA the quad's (96, 128) int8 window HBM -> VMEM at its
+       pose-dependent offset (no batched-gather: a real strided DMA).
+    2. Unrolled 32-ray pass in VMEM/vregs: per ray, ONE [96,128] compare
+       per orientation against a sentinel-masked minor-offset vector,
+       membership OR, P -= member, mn = min(mn, P) — then *scalar*
+       endpoint fixups (P[e] += 1+ed, mx[e] = max(mx[e], P[e])), exact
+       because only endpoint deltas are positive (see ops/raycast.py's
+       Skorokhod-form derivation).
+    3. Apply final = max(lo, min(mid, up)) and DMA the window back.
+
+Ray parameters arrive as per-quad scalars in SMEM (computed by the XLA
+make_rays prologue), so the kernel does no trig.  The grid buffer is
+input/output-aliased: untouched cells never move.
+
+Falls back to interpret mode for CPU tests (exactness is asserted against
+both the XLA path and the golden model).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from micro_quad_slam_tpu.ops.raycast import (
+    DEFAULT_GEOM,
+    GridGeom,
+    make_rays,
+)
+from micro_quad_slam_tpu.utils.config import MapConfig, TofConfig
+
+_SENT = 0x7F  # impossible minor-offset sentinel
+
+
+def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
+                   *, geom: GridGeom, cfg: MapConfig):
+    """ray_ref: SMEM i32 [1, 134] = 32*(ex, ey, ed, valid) + (r0, c0, junk);
+    grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); win_ref: VMEM i8
+    scratch [win_rows, win_cols]."""
+    ib = pl.program_id(0)
+    R = geom.win_r
+    WR, WC = geom.win_rows, geom.win_cols
+
+    r0 = ray_ref[0, 128]
+    c0 = ray_ref[0, 129]
+
+    load = pltpu.make_async_copy(
+        grid_ref.at[ib, pl.ds(r0, WR), pl.ds(c0, WC)], win_ref, sem_in)
+    load.start()
+
+    rows = lax.broadcasted_iota(jnp.int32, (WR, 1), 0) - R   # v (y)
+    cols = lax.broadcasted_iota(jnp.int32, (1, WC), 1) - R   # u (x)
+
+    load.wait()
+
+    P = jnp.zeros((WR, WC), jnp.int32)
+    mx = jnp.zeros((WR, WC), jnp.int32)
+    mn = jnp.zeros((WR, WC), jnp.int32)
+
+    for r in range(32):
+        ex = ray_ref[0, 4 * r + 0]
+        ey = ray_ref[0, 4 * r + 1]
+        ed = ray_ref[0, 4 * r + 2]
+        val = ray_ref[0, 4 * r + 3] != 0
+        dx = jnp.abs(ex)
+        dy = jnp.abs(ey)
+        sx = jnp.where(ex > 0, 1, -1)
+        sy = jnp.where(ey > 0, 1, -1)
+        kx = cols * sx                       # [1, WC]
+        ky = rows * sy                       # [WR, 1]
+        xmaj = dx >= dy
+        mX = (2 * kx * dy + dx) // jnp.maximum(2 * dx, 1)
+        mY = (2 * ky * dx + dy) // jnp.maximum(2 * dy, 1)
+        okX = (kx >= 0) & (kx <= dx) & xmaj & val
+        okY = (ky >= 0) & (ky <= dy) & (~xmaj) & val
+        mX = jnp.where(okX, mX, _SENT)
+        mY = jnp.where(okY, mY, _SENT)
+        member = (ky == mX) | (kx == mY)     # [WR, WC]
+        P = P - member.astype(jnp.int32)
+        # scalar endpoint fixup: undo the pass-decrement, add the endpoint
+        # delta, track the (only-positive) prefix max at that single cell
+        yy = ey + R
+        xx = ex + R
+        fix = jnp.where(val, ed + cfg.lo_free_dec, 0)
+        pe = P[yy, xx] + fix
+        P = P.at[yy, xx].set(pe)
+        mx = mx.at[yy, xx].set(jnp.maximum(mx[yy, xx], pe))
+        mn = jnp.minimum(mn, P)
+
+    v0 = win_ref[...].astype(jnp.int32)
+    mid = v0 + P
+    up = jnp.int32(cfg.lo_max) + P - mx
+    lo = jnp.int32(cfg.lo_min) + P - mn
+    win_ref[...] = jnp.maximum(jnp.minimum(mid, up), lo).astype(jnp.int8)
+
+    store = pltpu.make_async_copy(
+        win_ref, out_ref.at[ib, pl.ds(r0, WR), pl.ds(c0, WC)], sem_out)
+    store.start()
+    store.wait()
+
+
+def _pack_rays(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig,
+               tof: TofConfig, geom: GridGeom):
+    """XLA prologue: per-quad ray scalars packed for SMEM prefetch.
+    Returns i32 [B, 134]: 128 ray words + window origin (r0, c0) + pad."""
+    rays = jax.vmap(
+        lambda b_, x_, y_, yaw_, ox_, oy_, en_: make_rays(
+            b_, x_, y_, yaw_, ox_, oy_, en_, cfg, tof)
+    )(beams, x, y, yaw, ox, oy, enabled)
+    packed = jnp.stack(
+        [rays["ex"], rays["ey"], rays["end_delta"],
+         rays["valid"].astype(jnp.int32)], axis=-1,
+    ).reshape(-1, 128)
+    r0 = rays["pcy"] + geom.pad - geom.win_r
+    c0 = rays["pcx"] + geom.pad - geom.win_r
+    pad = jnp.zeros_like(r0)
+    return jnp.concatenate(
+        [packed, r0[:, None], c0[:, None], pad[:, None],
+         jnp.zeros((packed.shape[0], 3), jnp.int32)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def pallas_apply_scans(
+    padded_grids: jnp.ndarray,   # i8 [B, prows, pcols]
+    beams: jnp.ndarray,          # f32 [B, 4, 8]
+    x, y, yaw_deg,               # f32 [B]
+    origin_x, origin_y,          # f32 [B]
+    enabled,                     # bool [B]
+    cfg: MapConfig = MapConfig(),
+    tof: TofConfig = TofConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched fused scan update: the Pallas twin of
+    vmap(apply_scan_to_grid).  Bit-identical results."""
+    B = padded_grids.shape[0]
+    ray_words = _pack_rays(beams, x, y, yaw_deg, origin_x, origin_y,
+                           enabled, cfg, tof, geom)
+
+    kernel = functools.partial(_window_kernel, geom=geom, cfg=cfg)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 134), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(padded_grids.shape, jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((geom.win_rows, geom.win_cols), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ray_words, padded_grids)

@@ -46,6 +46,8 @@ class Scenario:
     flow_dropout_ms: tuple = ()      # (start, end) of of_q collapse
     sys_glitch_ms: tuple = ()        # (start, end) with gyro bit cleared
     link_loss_ms: tuple = ()         # (start, end) with no FC heartbeat
+    lpos_dropout_ms: tuple = ()      # (start, end) with stale LOCAL_POSITION
+    rf_dropout_ms: tuple = ()        # (start, end) with stale rangefinder
     kill_at_ms: int = 10 ** 9        # FC-side unexpected disarm
     front_wall_m: float = 3.0        # initial front clearance
     tick_ms: int = 20
@@ -70,6 +72,7 @@ class FcMock:
         self.rejected_once = False
         self.batt_v = sc.batt_v0
         self.rc_override_thr = None
+        self.z_target = None
         self.want_arm = False
         self.killed = False
         # world: distances per direction (front shrinks while exploring)
@@ -108,11 +111,16 @@ class FcMock:
             self.accept_ms = 0
         self.yaw_rate_cmd = 0.0
         self.fwd_cmd = 0.0
+        self.z_target = None
         if out.cmd_kind == CMD_VEL_BODY:
             self.fwd_cmd = out.cmd[0]
             self.yaw_rate_cmd = out.cmd[3]
         elif out.cmd_kind == CMD_VEL_NED:
             self.climb = -out.cmd[2]  # +down commanded
+        elif out.cmd_kind == 3:  # CMD_POS_YAW carries a z_down target
+            self.z_target = -out.cmd[2]
+        elif out.cmd_kind == 6:  # CMD_Z_YAW (clean Z-only setpoint)
+            self.z_target = -out.cmd[0]
         elif out.cmd_kind == CMD_ATT_THRUST:
             if self.sc.ramp_works and self.armed:
                 self.motor = max(self.motor, 1000 + out.cmd[0] * 600)
@@ -144,6 +152,9 @@ class FcMock:
                 self.alt = min(self.takeoff_target + 0.02, self.alt + 0.45 * dt)
             elif self.climb:
                 self.alt = max(0.0, self.alt + self.climb * dt)
+            elif self.z_target is not None:
+                rate = max(-0.3, min(0.3, (self.z_target - self.alt) * 1.5))
+                self.alt = max(0.0, self.alt + rate * dt)
         elif not self.armed:
             self.alt = max(0.0, self.alt - 1.0 * dt)
         self.climb = 0.0
@@ -172,6 +183,8 @@ class FcMock:
             health &= ~0x01
         of_q = 5 if self._in(t, sc.flow_dropout_ms) else 85
         airborne = self.alt > 0.05
+        lpos_ok = not self._in(t, sc.lpos_dropout_ms)
+        rf_ok = not self._in(t, sc.rf_dropout_ms)
         noise = float(self.rng.normal(0, 0.003))
         sides = (self.front, 2.0, 2.5, 1.5)
         return Telemetry(
@@ -191,7 +204,7 @@ class FcMock:
             batt_cells=2,
             batt_last_ms=t,
             have_lpos=True,
-            lpos_last_ms=t,
+            lpos_last_ms=t if lpos_ok else max(0, t - 5000),
             lpos_x=0.1 + noise,
             lpos_y=-0.2 + noise,
             lpos_alt_filt=self.alt + noise,
@@ -200,9 +213,9 @@ class FcMock:
             have_of=True,
             of_last_ms=t,
             of_q=of_q,
-            have_rf=airborne,
-            rf_last_ms=t if airborne else max(0, t - 1000),
-            rf_m=self.alt + noise if airborne else float("nan"),
+            have_rf=True,
+            rf_last_ms=t if rf_ok else max(0, t - 5000),
+            rf_m=self.alt + 0.03 + noise,
             want_arm=self.want_arm,
             have_takeoff_ack=self.have_ack,
             takeoff_ack_res=self.ack_res,

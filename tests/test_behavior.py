@@ -111,7 +111,7 @@ _TM_KEYS = [
     ("t_ms", np.int32), ("have_fc", bool), ("fc_armed", bool),
     ("hb_custom_mode", np.int32), ("have_ext", bool),
     ("landed_state", np.int32), ("have_sys", bool), ("sys_last_ms", np.int32),
-    ("sys_health", np.uint32), ("have_servo", bool),
+    ("sys_health", np.uint32), ("sys_enabled", np.uint32), ("have_servo", bool),
     ("servo_last_ms", np.int32), ("motor_avg", np.float32),
     ("batt_vpc", np.float32), ("batt_cells", np.int32),
     ("batt_last_ms", np.int32), ("have_lpos", bool),

@@ -1,0 +1,65 @@
+"""Pallas fused window-update kernel: bit-equality with the XLA path (and
+therefore the golden model) in interpret mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from micro_quad_slam_tpu.ops import apply_scan_to_grid
+from micro_quad_slam_tpu.ops.pallas_raycast import pallas_apply_scans
+from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM as GEOM
+from micro_quad_slam_tpu.utils.config import MapConfig
+
+F32 = np.float32
+CFG = MapConfig()
+
+
+def _random_case(seed, B=3):
+    rng = np.random.default_rng(seed)
+    padded = np.zeros((B, GEOM.prows, GEOM.pcols), np.int8)
+    padded[:, GEOM.pad:GEOM.pad + 500, GEOM.pad:GEOM.pad + 500] = (
+        rng.integers(-80, 81, size=(B, 500, 500)).astype(np.int8))
+    beams = rng.uniform(0.03, 4.2, size=(B, 4, 8)).astype(np.float32)
+    beams[rng.random((B, 4, 8)) < 0.1] = np.nan
+    xs = rng.uniform(-20, 20, B).astype(np.float32)
+    ys = rng.uniform(-20, 20, B).astype(np.float32)
+    yaws = rng.uniform(-180, 180, B).astype(np.float32)
+    en = rng.random(B) > 0.2
+    return padded, beams, xs, ys, yaws, en
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pallas_matches_xla(seed):
+    padded, beams, xs, ys, yaws, en = _random_case(seed)
+    zero = jnp.zeros(len(xs), jnp.float32)
+    out_p = pallas_apply_scans(
+        jnp.asarray(padded), jnp.asarray(beams), jnp.asarray(xs),
+        jnp.asarray(ys), jnp.asarray(yaws), zero, zero, jnp.asarray(en),
+        CFG, interpret=True)
+    out_x = jax.vmap(
+        lambda g, b, x, y, w, e: apply_scan_to_grid(
+            g, b, x, y, w, F32(0), F32(0), e, CFG)
+    )(jnp.asarray(padded), jnp.asarray(beams), jnp.asarray(xs),
+      jnp.asarray(ys), jnp.asarray(yaws), jnp.asarray(en))
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
+def test_pallas_near_saturation_ordering():
+    rng = np.random.default_rng(9)
+    B = 2
+    padded = np.zeros((B, GEOM.prows, GEOM.pcols), np.int8)
+    padded[:, GEOM.pad:GEOM.pad + 500, GEOM.pad:GEOM.pad + 500] = rng.choice(
+        np.array([-80, -79, 78, 79, 80], np.int8), size=(B, 500, 500))
+    beams = rng.uniform(0.1, 1.2, size=(B, 4, 8)).astype(np.float32)
+    zero = jnp.zeros(B, jnp.float32)
+    en = jnp.ones(B, bool)
+    out_p = pallas_apply_scans(
+        jnp.asarray(padded), jnp.asarray(beams), zero, zero, zero,
+        zero, zero, en, CFG, interpret=True)
+    out_x = jax.vmap(
+        lambda g, b: apply_scan_to_grid(
+            g, b, F32(0), F32(0), F32(0), F32(0), F32(0), True, CFG)
+    )(jnp.asarray(padded), jnp.asarray(beams))
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
