@@ -1,0 +1,260 @@
+"""mqs — command line interface.
+
+  mqs replay  --log scanlog.bin [--out map.npy] [--profile ul|cl] [--ascii]
+  mqs fusion  --log scanlog.bin [--out track.csv]
+  mqs slam    --log scanlog.bin [--out map.npy] [--kf-every 10]
+  mqs sim     [--quads 16] [--seconds 20] [--out-prefix sim]
+  mqs synth   --out scanlog.bin [--frames 200] [--path circle|hover|line]
+  mqs bench   [replay|swarm]
+  mqs info
+
+Replay/SLAM consume the reference's scanlog.bin format
+(uav_local_nav.c:1522-1547) via the native decoder when available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _profile(name: str):
+    from micro_quad_slam_tpu.utils.config import CL_PROFILE, UL_PROFILE
+    return CL_PROFILE if name == "cl" else UL_PROFILE
+
+
+def _load_log(path: str):
+    from micro_quad_slam_tpu.io import read_scanlog_native
+    return read_scanlog_native(path)
+
+
+def _ascii_map(grid: np.ndarray, half: int = 40, step: int = 2) -> str:
+    h, w = grid.shape
+    cy, cx = h // 2, w // 2
+    rows = []
+    for r in range(cy - half, cy + half + 1, step):
+        rows.append("".join(
+            "#" if grid[r, c] > 10 else ("." if grid[r, c] < -10 else " ")
+            for c in range(cx - half, cx + half + 1)))
+    return "\n".join(rows)
+
+
+def cmd_replay(args) -> int:
+    from micro_quad_slam_tpu.ops import logical_grid
+    from micro_quad_slam_tpu.replay import replay_mapping, scanlog_to_arrays
+
+    log = _load_log(args.log)
+    state, outs = replay_mapping(scanlog_to_arrays(log), _profile(args.profile))
+    grid = np.asarray(logical_grid(state.grid))
+    used = int(np.asarray(outs["used"]).sum())
+    print(f"replayed {len(log)} frames ({used} mapped); "
+          f"occupied={int((grid > 10).sum())} free={int((grid < -10).sum())} "
+          f"origin=({float(state.origin_x):.2f},{float(state.origin_y):.2f})")
+    if args.out:
+        np.save(args.out, grid)
+        print(f"map -> {args.out}")
+    if args.ascii:
+        print(_ascii_map(grid))
+    return 0
+
+
+def cmd_fusion(args) -> int:
+    from micro_quad_slam_tpu.replay.fusion import (
+        fusion_arrays, pose_rmse, replay_fusion)
+
+    log = _load_log(args.log)
+    frames = fusion_arrays(log)
+    state, track = replay_fusion(frames)
+    rmse = pose_rmse(track, frames)
+    used = int(np.asarray(track["flow_used"]).sum())
+    print(f"EKF replay: {len(log)} frames, flow fused on {used}; "
+          f"pose RMSE vs logged track: "
+          f"{'n/a' if np.isnan(rmse) else f'{rmse * 100:.2f} cm'}")
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("t_ms,x,y,vx,vy,flow_used\n")
+            for i in range(len(log)):
+                f.write(f"{int(log.scan_ms[i])},{float(track['x'][i]):.4f},"
+                        f"{float(track['y'][i]):.4f},"
+                        f"{float(track['vx'][i]):.4f},"
+                        f"{float(track['vy'][i]):.4f},"
+                        f"{int(track['flow_used'][i])}\n")
+        print(f"track -> {args.out}")
+    return 0
+
+
+def cmd_slam(args) -> int:
+    from micro_quad_slam_tpu.ops import logical_grid
+    from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM
+    from micro_quad_slam_tpu.replay.fusion import fusion_arrays
+    from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
+    from micro_quad_slam_tpu.slam import slam_replay
+
+    log = _load_log(args.log)
+    frames = {**scanlog_to_arrays(log), **fusion_arrays(log)}
+    frames = {k: v[None] for k, v in frames.items()}
+    res = slam_replay(frames, _profile(args.profile), DEFAULT_GEOM,
+                      args.kf_every, args.gn_iters)
+    grid = np.asarray(logical_grid(res.grid))[0]
+    truth_ok = np.isfinite(log.x_m).all()
+    msg = (f"SLAM: {len(log)} frames, {len(np.asarray(res.kf_idx))} keyframes; "
+           f"occupied={int((grid > 10).sum())}")
+    if truth_ok:
+        t = np.stack([log.x_m, log.y_m], -1)
+        oe = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - t).T).mean()
+        se = np.hypot(*(np.asarray(res.track)[0, :, :2] - t).T).mean()
+        msg += (f"; mean err vs logged track: odom {oe*100:.1f} cm -> "
+                f"slam {se*100:.1f} cm")
+    print(msg)
+    if args.out:
+        np.save(args.out, grid)
+        print(f"corrected map -> {args.out}")
+    if args.ascii:
+        print(_ascii_map(grid))
+    return 0
+
+
+def cmd_sim(args) -> int:
+    import jax
+    from micro_quad_slam_tpu.models.simulator import (
+        make_world, sim_init, sim_run)
+    from micro_quad_slam_tpu.ops import logical_grid
+    from micro_quad_slam_tpu.utils.obs import STATE_NAMES_UL
+
+    B = args.quads
+    world = make_world(B, room=(-3.5, -3.5, 3.5, 3.5),
+                       obstacles=[(1.5, -0.5, 2.5, 0.5)])
+    st = sim_init(B, jax.random.PRNGKey(args.seed), spread_m=0.5)
+    steps = int(args.seconds * 1000 / args.dt_ms)
+    st, diag = sim_run(st, world, steps, _profile(args.profile),
+                       dt_ms=args.dt_ms)
+    states = np.asarray(diag["state"])[-1]
+    from collections import Counter
+    mix = Counter(STATE_NAMES_UL[s] for s in states)
+    grids = np.asarray(logical_grid(st.mapper.grid))
+    occ = (grids > 10).reshape(B, -1).sum(1)
+    print(f"swarm {B} quads x {args.seconds}s: final states {dict(mix)}; "
+          f"occupied cells/quad median={int(np.median(occ))}; "
+          f"pose err max={float(np.asarray(diag['pose_err'])[-1].max()):.3f} m")
+    if args.out_prefix:
+        np.save(f"{args.out_prefix}_grids.npy", grids)
+        print(f"grids -> {args.out_prefix}_grids.npy")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from micro_quad_slam_tpu.formats import write_scanlog
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+
+    log = synth_room_scanlog(
+        n_frames=args.frames, path=args.path, path_radius_m=args.radius,
+        room=tuple(args.room), with_flow=True, noise_mm=args.noise_mm,
+        dropout_p=args.dropout, seed=args.seed)
+    write_scanlog(args.out, log)
+    print(f"synthetic flight ({args.frames} frames, {args.path}) -> {args.out}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import os
+    if args.mode:
+        os.environ["MQS_BENCH_MODE"] = args.mode
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    if spec is None or spec.loader is None:
+        print("bench.py not found", file=sys.stderr)
+        return 1
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+    import micro_quad_slam_tpu as mqs
+    from micro_quad_slam_tpu.io import native_available
+
+    print(json.dumps({
+        "version": mqs.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "native_io": native_available(),
+        "profiles": ["ul", "cl"],
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mqs", description=__doc__)
+    p.add_argument("--platform", choices=("cpu", "axon", "tpu"),
+                   help="pin the JAX platform (this image's sitecustomize "
+                        "defaults to the TPU tunnel; use cpu to avoid "
+                        "contending for the single chip)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("replay", help="scanlog -> occupancy map")
+    pr.add_argument("--log", required=True)
+    pr.add_argument("--out")
+    pr.add_argument("--profile", default="ul", choices=("ul", "cl"))
+    pr.add_argument("--ascii", action="store_true")
+    pr.set_defaults(fn=cmd_replay)
+
+    pf = sub.add_parser("fusion", help="EKF pose track from raw streams")
+    pf.add_argument("--log", required=True)
+    pf.add_argument("--out")
+    pf.set_defaults(fn=cmd_fusion)
+
+    ps = sub.add_parser("slam", help="scan-matched + graph-refined map")
+    ps.add_argument("--log", required=True)
+    ps.add_argument("--out")
+    ps.add_argument("--profile", default="ul", choices=("ul", "cl"))
+    ps.add_argument("--kf-every", type=int, default=10)
+    ps.add_argument("--gn-iters", type=int, default=8)
+    ps.add_argument("--ascii", action="store_true")
+    ps.set_defaults(fn=cmd_slam)
+
+    pm = sub.add_parser("sim", help="closed-loop swarm simulation")
+    pm.add_argument("--quads", type=int, default=16)
+    pm.add_argument("--seconds", type=float, default=20.0)
+    pm.add_argument("--dt-ms", type=int, default=20)
+    pm.add_argument("--seed", type=int, default=0)
+    pm.add_argument("--profile", default="ul", choices=("ul", "cl"))
+    pm.add_argument("--out-prefix")
+    pm.set_defaults(fn=cmd_sim)
+
+    py = sub.add_parser("synth", help="generate a synthetic scanlog")
+    py.add_argument("--out", required=True)
+    py.add_argument("--frames", type=int, default=200)
+    py.add_argument("--path", default="circle",
+                    choices=("circle", "hover", "line"))
+    py.add_argument("--radius", type=float, default=1.0)
+    py.add_argument("--room", type=float, nargs=4,
+                    default=(-3.0, -3.0, 3.0, 3.0))
+    py.add_argument("--noise-mm", type=float, default=5.0)
+    py.add_argument("--dropout", type=float, default=0.02)
+    py.add_argument("--seed", type=int, default=0)
+    py.set_defaults(fn=cmd_synth)
+
+    pb = sub.add_parser("bench", help="run the throughput benchmark")
+    pb.add_argument("mode", nargs="?", choices=("replay", "swarm"))
+    pb.set_defaults(fn=cmd_bench)
+
+    pi = sub.add_parser("info", help="environment / version info")
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms",
+                          "axon" if args.platform == "tpu" else args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,15 +47,19 @@ _SENT = 0x7F  # impossible minor-offset sentinel
 
 def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
                    *, geom: GridGeom, cfg: MapConfig):
-    """ray_ref: SMEM i32 [1, 134] = 32*(ex, ey, ed, valid) + (r0, c0, junk);
+    """ray_ref: SMEM i32 [1, 8, 128]; flat layout: words 0..127 are
+    32*(ex, ey, ed, valid), words 128/129 are the window origin (r0, c0).
     grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); win_ref: VMEM i8
     scratch [win_rows, win_cols]."""
     ib = pl.program_id(0)
     R = geom.win_r
     WR, WC = geom.win_rows, geom.win_cols
 
-    r0 = ray_ref[0, 128]
-    c0 = ray_ref[0, 129]
+    def rw(w):  # flat ray-word read from the [1, 8, 128] SMEM block
+        return ray_ref[0, w // 128, w % 128]
+
+    r0 = rw(128)
+    c0 = rw(129)
 
     load = pltpu.make_async_copy(
         grid_ref.at[ib, pl.ds(r0, WR), pl.ds(c0, WC)], win_ref, sem_in)
@@ -71,10 +75,10 @@ def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
     mn = jnp.zeros((WR, WC), jnp.int32)
 
     for r in range(32):
-        ex = ray_ref[0, 4 * r + 0]
-        ey = ray_ref[0, 4 * r + 1]
-        ed = ray_ref[0, 4 * r + 2]
-        val = ray_ref[0, 4 * r + 3] != 0
+        ex = rw(4 * r + 0)
+        ey = rw(4 * r + 1)
+        ed = rw(4 * r + 2)
+        val = rw(4 * r + 3) != 0
         dx = jnp.abs(ex)
         dy = jnp.abs(ey)
         sx = jnp.where(ex > 0, 1, -1)
@@ -115,7 +119,9 @@ def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
 def _pack_rays(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig,
                tof: TofConfig, geom: GridGeom):
     """XLA prologue: per-quad ray scalars packed for SMEM prefetch.
-    Returns i32 [B, 134]: 128 ray words + window origin (r0, c0) + pad."""
+    Returns i32 [B, 8, 128]: row 0 = 128 ray words (ex, ey, ed, valid
+    per ray), row 1 words 0/1 = window origin (r0, c0); rest padding
+    (the 8x128 tile shape is what the TPU lowering requires)."""
     rays = jax.vmap(
         lambda b_, x_, y_, yaw_, ox_, oy_, en_: make_rays(
             b_, x_, y_, yaw_, ox_, oy_, en_, cfg, tof)
@@ -126,10 +132,12 @@ def _pack_rays(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig,
     ).reshape(-1, 128)
     r0 = rays["pcy"] + geom.pad - geom.win_r
     c0 = rays["pcx"] + geom.pad - geom.win_r
-    pad = jnp.zeros_like(r0)
+    B = packed.shape[0]
+    row1 = jnp.zeros((B, 128), jnp.int32)
+    row1 = row1.at[:, 0].set(r0).at[:, 1].set(c0)
+    rest = jnp.zeros((B, 6, 128), jnp.int32)
     return jnp.concatenate(
-        [packed, r0[:, None], c0[:, None], pad[:, None],
-         jnp.zeros((packed.shape[0], 3), jnp.int32)], axis=-1)
+        [packed[:, None, :], row1[:, None, :], rest], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
@@ -155,7 +163,7 @@ def pallas_apply_scans(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 134), lambda b: (b, 0),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],

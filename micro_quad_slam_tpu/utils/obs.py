@@ -1,0 +1,239 @@
+"""Observability: the reference's logging subsystems re-expressed for the
+batched replay world (SURVEY.md §2E / §5.5).
+
+  E1 navlog.csv        -> formats/navlog.py writer + replay glue here
+  E2 scanlog.bin       -> formats/scanlog.py writer + sim glue here
+  E3 keyframe flags    -> carried in replay/sim outputs
+  E4 console status    -> format_status_line (the reference's 2 Hz
+                          mega-line, uav_local_nav.c:1885-1975)
+  E5 printf tee        -> TeeLogger (clean:451-475)
+  E6 snapshot ring     -> SnapshotRing with dump-on-failure
+                          (clean:288-323, 2186-2336)
+  E7 flight_data.csv   -> FlightDataWriter (clean:141-146, 2645-2659)
+
+Plus the rebuild-native additions: per-run metrics counters and a
+jax.profiler trace context.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from collections import deque
+from typing import Optional, TextIO
+
+import numpy as np
+
+STATE_NAMES_UL = (
+    "WAIT_LINK", "IDLE", "ARMING", "TAKEOFF", "LIFTOFF_ASSIST",
+    "HOVER", "EXPLORE", "TURNING", "LANDING", "DISARMING",
+)
+STATE_NAMES_CL = (
+    "WAIT_LINK", "IDLE", "ARMING", "TAKEOFF", "LIFTOFF_ASSIST",
+    "HOVER", "LANDING", "DISARMING",
+)
+ALT_SRC_NAMES = ("?", "LPOS", "RF", "GND")
+
+
+def _f(v, fmt="%.2f", none="?"):
+    try:
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            return none
+        return fmt % v
+    except TypeError:
+        return none
+
+
+def format_status_line(
+    state: int, want_arm: bool, have_hb: bool, mode: int, armed: bool,
+    alt_m: float, alt_src: int, ceiling: bool, landed: Optional[int],
+    z_ok, xy_ok, gyr_ok, mot_ok, xy_stable: bool, lpos_alt: float,
+    rf_m: float, yaw_deg: float, yaw_target: Optional[float],
+    tof_frbl, of_q: Optional[int], batt_v: float, batt_cells: int,
+    mot_avg: Optional[float], map_inited: bool,
+    names=STATE_NAMES_UL,
+) -> str:
+    """The reference's status mega-line (uav_local_nav.c:1885-1975)."""
+    parts = [
+        f"st={names[state] if 0 <= state < len(names) else '?'}",
+        f"want={int(want_arm)} HB={int(have_hb)} mode={mode} armed={int(armed)}",
+        f"alt={_f(alt_m)}({ALT_SRC_NAMES[alt_src] if 0 <= alt_src < 4 else '?'})",
+        f"CEIL={int(ceiling)}",
+        f"landed={'?' if landed is None else landed}",
+        ("sys=?" if z_ok is None else
+         f"sys=Z={int(z_ok)} XY={int(xy_ok)} GYR={int(gyr_ok)} MOT={int(mot_ok)}"),
+        f"xyOK={int(xy_stable)}",
+        f"lpos={_f(lpos_alt)}",
+        f"rf={_f(rf_m)}",
+        f"yaw={_f(yaw_deg, '%.1f')}" + (
+            f"->{yaw_target:.1f}" if yaw_target is not None else ""),
+        "tof(F/R/B/L)=" + "/".join(_f(v, none="nan") for v in tof_frbl),
+        f"of={'?' if of_q is None else 'q=%d' % of_q}",
+    ]
+    if batt_v is not None and not np.isnan(batt_v) and batt_cells:
+        parts.append(f"V={batt_v:.2f} ({batt_cells}c) "
+                     f"Vpc={batt_v / batt_cells:.2f}")
+    if mot_avg is not None:
+        parts.append(f"mot_avg={mot_avg:.1f}")
+    parts.append("map=ON(500x500@0.10m)" if map_inited else "map=OFF")
+    return " ".join(parts)
+
+
+class TeeLogger:
+    """printf tee: every line goes to the console AND a timestamped
+    log.txt (clean_uav_fc_tof_nav.c:451-475)."""
+
+    def __init__(self, path: str, console: Optional[TextIO] = None,
+                 t0: Optional[float] = None):
+        self._f = open(path, "a")
+        self._console = console
+        self._t0 = time.monotonic() if t0 is None else t0
+
+    def log(self, msg: str) -> None:
+        stamp = time.monotonic() - self._t0
+        line = f"[{stamp:.3f}] {msg}"
+        self._f.write(line + "\n")
+        if self._console is not None:
+            self._console.write(msg + "\n")
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+@dataclasses.dataclass
+class Snapshot:
+    """One black-box record (snapshot_t, clean:291-317)."""
+
+    t_ms: int = 0
+    state: int = 0
+    mode: int = 0
+    armed: bool = False
+    landed: int = 255
+    roll: float = np.nan
+    pitch: float = np.nan
+    yaw: float = np.nan
+    x: float = np.nan
+    y: float = np.nan
+    z: float = np.nan
+    vx: float = np.nan
+    vy: float = np.nan
+    vz: float = np.nan
+    alt_est: float = np.nan
+    alt_src: int = 0
+    rf_m: float = np.nan
+    of_q: int = 0
+    of_rx: float = np.nan
+    of_ry: float = np.nan
+    xy_ok: bool = False
+    z_ok: bool = False
+    gyr_ok: bool = False
+    mot_ok: bool = False
+    batt_v: float = np.nan
+    batt_c: int = 0
+    batt_vpc: float = np.nan
+    mot: tuple = (0, 0, 0, 0)
+    rc: tuple = (0, 0, 0, 0)
+    rssi: int = 0
+
+    def line(self, names=STATE_NAMES_CL) -> str:
+        nm = names[self.state] if 0 <= self.state < len(names) else "?"
+        return (f"[{self.t_ms}] {nm} m={self.mode} a={int(self.armed)} "
+                f"alt={_f(self.alt_est)} xyz=({_f(self.x)},{_f(self.y)},"
+                f"{_f(self.z)}) rf={_f(self.rf_m)} q={self.of_q} "
+                f"vpc={_f(self.batt_vpc)} mot={self.mot}")
+
+
+class SnapshotRing:
+    """32-deep black box, dumped in full on failure transitions
+    (clean:288-323, 2022-2028, 2350-2357)."""
+
+    def __init__(self, depth: int = 32, sink=None):
+        self._ring = deque(maxlen=depth)
+        self._sink = sink or (lambda s: None)
+
+    def add(self, snap: Snapshot) -> None:
+        self._ring.append(snap)
+
+    def dump(self, reason: str = "") -> list:
+        out = list(self._ring)
+        self._sink(f"--- snapshot ring dump ({reason}): "
+                   f"{len(out)} records ---")
+        for s in out:
+            self._sink(s.line())
+        return out
+
+
+class FlightDataWriter:
+    """flight_data.csv: per-tick vibration/clipping, motor PWM, ESC RPM
+    (clean:141-146, 2645-2659)."""
+
+    HEADER = ("t_ms,state,alt_m,roll_deg,pitch_deg,yaw_deg,"
+              "m1,m2,m3,m4,vib_x,vib_y,vib_z,rpm1,rpm2,rpm3,rpm4")
+
+    def __init__(self, path: str, flush_every: int = 50):
+        self._f = open(path, "w")
+        self._f.write(self.HEADER + "\n")
+        self._n = 0
+        self._flush_every = flush_every
+
+    def write_row(self, t_ms, state_name, alt_m, roll_deg, pitch_deg,
+                  yaw_deg, motors, vib, rpm) -> None:
+        self._f.write(
+            f"{int(t_ms)},{state_name},{alt_m:.2f},{roll_deg:.2f},"
+            f"{pitch_deg:.2f},{yaw_deg:.2f},"
+            + ",".join(str(int(m)) for m in motors) + ","
+            + ",".join(f"{v:.2f}" for v in vib) + ","
+            + ",".join(str(int(r)) for r in rpm) + "\n")
+        self._n += 1
+        if self._n % self._flush_every == 0:
+            self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class MetricsCounter:
+    """Per-run throughput metrics (the rebuild's frames/sec counters)."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+        self.frames = 0
+        self.cells = 0
+
+    def add(self, frames: int, cells_per_frame: int = 1280):
+        self.frames += frames
+        self.cells += frames * cells_per_frame
+
+    def summary(self) -> dict:
+        dt = max(time.perf_counter() - self.t0, 1e-9)
+        return {
+            "frames": self.frames,
+            "wall_s": round(dt, 3),
+            "frames_per_sec": round(self.frames / dt, 1),
+            "cell_ops_per_sec": round(self.cells / dt, 1),
+        }
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: Optional[str]):
+    """jax.profiler trace context (no-op when logdir is None)."""
+    if logdir is None:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(logdir):
+        yield
+
+
+def sim_to_scanlog(sim_diag: dict, scan_period_ms: int = 100):
+    """Placeholder hook: the simulator currently surfaces light
+    diagnostics; full in-sim scanrec capture lands with the streaming
+    recorder (sim scans are synthesized on device and can be re-derived
+    deterministically from the seed)."""
+    raise NotImplementedError(
+        "use micro_quad_slam_tpu.sim.synth_room_scanlog to produce "
+        "reference-format logs; in-sim capture is planned")

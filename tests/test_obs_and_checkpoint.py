@@ -1,0 +1,104 @@
+"""Observability + checkpoint utilities."""
+
+import numpy as np
+
+from micro_quad_slam_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from micro_quad_slam_tpu.utils.obs import (
+    FlightDataWriter,
+    MetricsCounter,
+    Snapshot,
+    SnapshotRing,
+    TeeLogger,
+    format_status_line,
+)
+
+
+def test_status_line_format():
+    line = format_status_line(
+        state=5, want_arm=True, have_hb=True, mode=4, armed=True,
+        alt_m=0.48, alt_src=2, ceiling=False, landed=2,
+        z_ok=True, xy_ok=True, gyr_ok=True, mot_ok=True, xy_stable=True,
+        lpos_alt=0.47, rf_m=0.49, yaw_deg=12.3, yaw_target=12.0,
+        tof_frbl=(1.2, 2.0, 3.0, 0.9), of_q=80, batt_v=7.8, batt_cells=2,
+        mot_avg=1432.0, map_inited=True)
+    assert "st=HOVER" in line and "alt=0.48(RF)" in line
+    assert "tof(F/R/B/L)=1.20/2.00/3.00/0.90" in line
+    assert "Vpc=3.90" in line and "map=ON" in line
+
+
+def test_status_line_missing_values():
+    line = format_status_line(
+        state=0, want_arm=False, have_hb=False, mode=0, armed=False,
+        alt_m=float("nan"), alt_src=0, ceiling=False, landed=None,
+        z_ok=None, xy_ok=None, gyr_ok=None, mot_ok=None, xy_stable=False,
+        lpos_alt=float("nan"), rf_m=float("nan"), yaw_deg=float("nan"),
+        yaw_target=None, tof_frbl=(float("nan"),) * 4, of_q=None,
+        batt_v=float("nan"), batt_cells=0, mot_avg=None, map_inited=False)
+    assert "alt=?(?)" in line and "sys=?" in line and "map=OFF" in line
+
+
+def test_tee_logger(tmp_path):
+    p = str(tmp_path / "log.txt")
+    tee = TeeLogger(p)
+    tee.log("hello")
+    tee.log("world")
+    tee.close()
+    lines = open(p).read().splitlines()
+    assert len(lines) == 2
+    assert lines[0].startswith("[") and lines[0].endswith("hello")
+
+
+def test_snapshot_ring_dump():
+    sink_lines = []
+    ring = SnapshotRing(depth=4, sink=sink_lines.append)
+    for i in range(7):
+        ring.add(Snapshot(t_ms=i * 100, state=5, alt_est=0.4))
+    out = ring.dump("test failure")
+    assert len(out) == 4                      # only the last 4 retained
+    assert out[0].t_ms == 300
+    assert any("dump" in ln for ln in sink_lines)
+
+
+def test_flight_data_writer(tmp_path):
+    p = str(tmp_path / "flight_data.csv")
+    w = FlightDataWriter(p)
+    w.write_row(100, "HOVER", 0.45, 1.0, -1.0, 90.0,
+                (1400, 1410, 1395, 1405), (0.2, 0.3, 0.8), (9000,) * 4)
+    w.close()
+    lines = open(p).read().splitlines()
+    assert lines[0].startswith("t_ms,state")
+    assert lines[1].startswith("100,HOVER,0.45")
+
+
+def test_metrics_counter():
+    m = MetricsCounter()
+    m.add(100)
+    s = m.summary()
+    assert s["frames"] == 100 and s["frames_per_sec"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "grid": np.arange(12, dtype=np.int8).reshape(3, 4),
+        "pose": np.asarray([1.0, 2.0, 3.0], np.float32),
+        "step": np.int32(7),
+    }
+    d = str(tmp_path / "ckpt")
+    target = save_checkpoint(d, state, step=3)
+    assert latest_checkpoint(d) == target
+    back = restore_checkpoint(target, like=state)
+    np.testing.assert_array_equal(back["grid"], state["grid"])
+    np.testing.assert_array_equal(back["pose"], state["pose"])
+
+
+def test_checkpoint_latest_picks_max(tmp_path):
+    d = str(tmp_path / "ckpt")
+    state = {"a": np.zeros(2)}
+    save_checkpoint(d, state, step=1)
+    t2 = save_checkpoint(d, state, step=10)
+    save_checkpoint(d, state, step=5)
+    assert latest_checkpoint(d) == t2
