@@ -104,7 +104,17 @@ def main() -> None:
     mesh = make_mesh()
     frames = shard_batch(frames, mesh)
 
-    run = lambda: _replay_batched_with_metrics(frames, UL_PROFILE, DEFAULT_GEOM)
+    if os.environ.get("MQS_BENCH_PALLAS") == "1":
+        from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
+        run = lambda: replay_mapping_batched(frames, UL_PROFILE,
+                                             DEFAULT_GEOM, True) + ({},)
+        run0 = run
+        def run():
+            state, outs, _ = run0()
+            from micro_quad_slam_tpu.parallel.mesh import batch_metrics
+            return state, outs, batch_metrics(outs)
+    else:
+        run = lambda: _replay_batched_with_metrics(frames, UL_PROFILE, DEFAULT_GEOM)
 
     def sync(state):
         # block_until_ready does not reliably block through the axon TPU

@@ -241,8 +241,10 @@ def _wrap(d):
 def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
              geom: GridGeom = DEFAULT_GEOM, dt_ms: int = 20,
              scan_period_ms: int = 100, noise_mm: float = 5.0,
-             dropout_p: float = 0.02, want_arm=True):
-    """One closed-loop control tick for the whole swarm."""
+             dropout_p: float = 0.02, want_arm=True, record: bool = False):
+    """One closed-loop control tick for the whole swarm.  With record=True
+    the per-step diagnostics include the raw scan cells (zeros between
+    scan ticks) so a run can be converted to reference-format scanlogs."""
     W = jnp.where
     B = state.x.shape[0]
     t = state.t_ms + dt_ms
@@ -253,9 +255,10 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
 
     # ---- scan tick: synth ToF + map update (expensive; real branch) ----
     scan_due = (t % scan_period_ms) == 0
+    cells0 = jnp.zeros((B, 4, 8, 8), jnp.uint16)
 
     def do_scan(op):
-        mapper, tof_min, ekf = op
+        mapper, tof_min, ekf, _ = op
         cells = synth_scan_mm(world, state.x, state.y, state.yaw, k_scan,
                               noise_mm, dropout_p, cfg)
         beams, minima = extract_beams(cells, cfg.tof)
@@ -268,10 +271,11 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
         )(mapper.grid, beams, ex_, ey_, state.yaw, mapper.origin_x,
           mapper.origin_y, enabled)
         mapper = mapper._replace(grid=grid)
-        return mapper, minima, ekf
+        return mapper, minima, ekf, cells
 
-    mapper, tof_min, _ = lax.cond(
-        scan_due, do_scan, lambda op: op, (mapper, state.tof_min, state.ekf)
+    mapper, tof_min, _, scan_cells = lax.cond(
+        scan_due, do_scan, lambda op: op,
+        (mapper, state.tof_min, state.ekf, cells0)
     )
 
     # ---- EKF: flow measurement from true velocity (sensor model) ----
@@ -438,18 +442,85 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
         "alt": alt,
         "pose_err": jnp.hypot(ekf.mean[..., 0] - x, ekf.mean[..., 1] - y),
     }
+    if record:
+        # everything a scanrec needs (uav_local_nav.c:1549-1581), sampled
+        # at this tick; host-side conversion filters to scan ticks
+        diag.update({
+            "scan_due": jnp.broadcast_to(scan_due, (B,)),
+            "t_ms": jnp.broadcast_to(jnp.int32(t), (B,)),
+            "cells": scan_cells,
+            "est_x": ekf.mean[..., 0],
+            "est_y": ekf.mean[..., 1],
+            "yaw": yaw,
+            "alt_est": out["alt_est"],
+            "rf": W(airborne, alt, jnp.nan),
+            "of_rate_x": of_rate_x,
+            "of_rate_y": of_rate_y,
+            "of_q": of_q.astype(jnp.uint8),
+            "kf_flags": out["kf_flags"].astype(jnp.uint8),
+        })
     return new_state, diag
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def sim_run(state: SimState, world: World, n_steps: int,
             cfg: PipelineConfig = UL_PROFILE, geom: GridGeom = DEFAULT_GEOM,
-            dt_ms: int = 20, scan_period_ms: int = 100):
+            dt_ms: int = 20, scan_period_ms: int = 100,
+            record: bool = False):
     """Run n_steps closed-loop ticks under one jit; returns final state +
-    stacked light diagnostics."""
+    stacked diagnostics (with raw scans when record=True)."""
 
     def step(st, _):
-        st, diag = sim_step(st, world, cfg, geom, dt_ms, scan_period_ms)
+        st, diag = sim_step(st, world, cfg, geom, dt_ms, scan_period_ms,
+                            record=record)
         return st, diag
 
     return lax.scan(step, state, None, length=n_steps)
+
+
+def sim_diag_to_scanlogs(diag: dict) -> list:
+    """Convert a recorded sim run's diagnostics to one reference-format
+    ScanLog per quad (the sim twin of the reference's scanlog writer,
+    uav_local_nav.c:1549-1581).  Keyframe flags accumulated between scans
+    are drained into the next record, like the reference."""
+    from micro_quad_slam_tpu.formats.scanlog import ScanLog
+
+    scan_due = np.asarray(diag["scan_due"])          # [T, B]
+    T, B = scan_due.shape
+    logs = []
+    for b in range(B):
+        idx = np.nonzero(scan_due[:, b])[0]
+        n = len(idx)
+
+        def g(key, dtype, i=idx, b=b):
+            return np.ascontiguousarray(
+                np.asarray(diag[key])[i, b].astype(dtype))
+
+        # drain kf flags: OR of flags since the previous scan tick
+        kf_all = np.asarray(diag["kf_flags"])[:, b]
+        kf = np.zeros(n, np.uint8)
+        prev = 0
+        prev_flags = 0
+        for k, i in enumerate(idx):
+            acc = 0
+            for j in range(prev, i + 1):
+                acc |= int(kf_all[j])
+            new_bits = acc & ~prev_flags
+            kf[k] = new_bits
+            prev_flags = acc
+            prev = i + 1
+        t_ms = g("t_ms", np.uint32)
+        logs.append(ScanLog(
+            host_ms=t_ms, scan_ms=t_ms.copy(),
+            x_m=g("est_x", np.float32), y_m=g("est_y", np.float32),
+            yaw_deg=g("yaw", np.float32), alt_m=g("alt_est", np.float32),
+            roll_rad=np.zeros(n, np.float32),
+            pitch_rad=np.zeros(n, np.float32),
+            rf_m=g("rf", np.float32),
+            of_rate_x=g("of_rate_x", np.float32),
+            of_rate_y=g("of_rate_y", np.float32),
+            of_q=g("of_q", np.uint8), state=g("state", np.uint8),
+            kf_flags=kf, sys_health=np.zeros(n, np.uint32),
+            grid_mm=np.asarray(diag["cells"])[idx, b].astype(np.uint16),
+        ))
+    return logs

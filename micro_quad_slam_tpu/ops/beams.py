@@ -36,11 +36,18 @@ def extract_beams(grid_mm: jnp.ndarray, tof: TofConfig = TofConfig()):
     valid = (mm != 0) & (mm != 0xFFFF) & (m > _F32(tof.min_valid_m))
     m = jnp.minimum(m, _F32(tof.max_range_m))
     m = jnp.where(valid, m, jnp.inf)
-    # second-smallest along rows: sort rows ascending per column
-    svals = jnp.sort(m, axis=-2)
+    # second-smallest along rows via two min passes (cheaper than a sort:
+    # the rows axis has only 8 lanes).  Mask exactly ONE instance of the
+    # minimum so duplicate minima still yield second == first, matching
+    # the C pair-tracking.
+    first = jnp.min(m, axis=-2)
+    is_min = m == first[..., None, :]
+    first_min_row = jnp.argmax(is_min, axis=-2)
+    row_ids = jnp.arange(m.shape[-2])
+    shape = (1,) * (m.ndim - 2) + (m.shape[-2], 1)
+    mask_one = first_min_row[..., None, :] == row_ids.reshape(shape)
+    second = jnp.min(jnp.where(mask_one, jnp.inf, m), axis=-2)
     count = valid.sum(axis=-2)
-    first = svals[..., 0, :]
-    second = svals[..., 1, :]
     beams = jnp.where(
         count >= 2, second, jnp.where(count == 1, first, jnp.nan)
     )

@@ -42,37 +42,47 @@ from micro_quad_slam_tpu.ops.raycast import (
 )
 from micro_quad_slam_tpu.utils.config import MapConfig, TofConfig
 
-_SENT = 0x7F  # impossible minor-offset sentinel
+_SENT = 0x7FFF  # impossible minor-offset sentinel (window rel coords < 256)
+
+
+# Mosaic DMA slices of tiled int8 HBM arrays must start on (8, 128) tile
+# boundaries, so the kernel loads a tile-ALIGNED superset window of
+# (win_rows + 8, 2 * 128) and carries the pose center as scalars.
+_AWR_PAD = 8
+_AWC = 256
 
 
 def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
                    *, geom: GridGeom, cfg: MapConfig):
     """ray_ref: SMEM i32 [1, 8, 128]; flat layout: words 0..127 are
-    32*(ex, ey, ed, valid), words 128/129 are the window origin (r0, c0).
+    32*(ex, ey, ed, valid); row-1 words: 0/1 = tile-aligned window origin
+    (r0a, c0a), 2/3 = pose-center offset inside the window (cy, cx).
     grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); win_ref: VMEM i8
-    scratch [win_rows, win_cols]."""
+    scratch [awr, awc]."""
     ib = pl.program_id(0)
-    R = geom.win_r
-    WR, WC = geom.win_rows, geom.win_cols
+    AWR = geom.win_rows + _AWR_PAD
+    AWC = _AWC
 
     def rw(w):  # flat ray-word read from the [1, 8, 128] SMEM block
         return ray_ref[0, w // 128, w % 128]
 
-    r0 = rw(128)
-    c0 = rw(129)
+    r0a = pl.multiple_of(rw(128), 8)
+    c0a = pl.multiple_of(rw(129), 128)
+    cy = rw(130)
+    cx = rw(131)
 
     load = pltpu.make_async_copy(
-        grid_ref.at[ib, pl.ds(r0, WR), pl.ds(c0, WC)], win_ref, sem_in)
+        grid_ref.at[ib, pl.ds(r0a, AWR), pl.ds(c0a, AWC)], win_ref, sem_in)
     load.start()
 
-    rows = lax.broadcasted_iota(jnp.int32, (WR, 1), 0) - R   # v (y)
-    cols = lax.broadcasted_iota(jnp.int32, (1, WC), 1) - R   # u (x)
+    rows = lax.broadcasted_iota(jnp.int32, (AWR, 1), 0) - cy   # v (y)
+    cols = lax.broadcasted_iota(jnp.int32, (1, AWC), 1) - cx   # u (x)
 
     load.wait()
 
-    P = jnp.zeros((WR, WC), jnp.int32)
-    mx = jnp.zeros((WR, WC), jnp.int32)
-    mn = jnp.zeros((WR, WC), jnp.int32)
+    P = jnp.zeros((AWR, AWC), jnp.int32)
+    mx = jnp.zeros((AWR, AWC), jnp.int32)
+    mn = jnp.zeros((AWR, AWC), jnp.int32)
 
     for r in range(32):
         ex = rw(4 * r + 0)
@@ -93,15 +103,13 @@ def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
         mX = jnp.where(okX, mX, _SENT)
         mY = jnp.where(okY, mY, _SENT)
         member = (ky == mX) | (kx == mY)     # [WR, WC]
-        P = P - member.astype(jnp.int32)
-        # scalar endpoint fixup: undo the pass-decrement, add the endpoint
-        # delta, track the (only-positive) prefix max at that single cell
-        yy = ey + R
-        xx = ex + R
-        fix = jnp.where(val, ed + cfg.lo_free_dec, 0)
-        pe = P[yy, xx] + fix
-        P = P.at[yy, xx].set(pe)
-        mx = mx.at[yy, xx].set(jnp.maximum(mx[yy, xx], pe))
+        # endpoint delta via a one-hot broadcast (Mosaic TPU lowering has
+        # no dynamic single-element indexing of values)
+        is_end = (rows == ey) & (cols == ex) & val
+        delta = jnp.where(member,
+                          jnp.where(is_end, ed, -cfg.lo_free_dec), 0)
+        P = P + delta
+        mx = jnp.maximum(mx, P)
         mn = jnp.minimum(mn, P)
 
     v0 = win_ref[...].astype(jnp.int32)
@@ -111,7 +119,7 @@ def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
     win_ref[...] = jnp.maximum(jnp.minimum(mid, up), lo).astype(jnp.int8)
 
     store = pltpu.make_async_copy(
-        win_ref, out_ref.at[ib, pl.ds(r0, WR), pl.ds(c0, WC)], sem_out)
+        win_ref, out_ref.at[ib, pl.ds(r0a, AWR), pl.ds(c0a, AWC)], sem_out)
     store.start()
     store.wait()
 
@@ -132,9 +140,14 @@ def _pack_rays(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig,
     ).reshape(-1, 128)
     r0 = rays["pcy"] + geom.pad - geom.win_r
     c0 = rays["pcx"] + geom.pad - geom.win_r
+    r0a = (r0 // 8) * 8          # tile-aligned DMA origin (Mosaic req.)
+    c0a = (c0 // 128) * 128
+    cy = rays["pcy"] + geom.pad - r0a   # pose center inside the window
+    cx = rays["pcx"] + geom.pad - c0a
     B = packed.shape[0]
     row1 = jnp.zeros((B, 128), jnp.int32)
-    row1 = row1.at[:, 0].set(r0).at[:, 1].set(c0)
+    row1 = row1.at[:, 0].set(r0a).at[:, 1].set(c0a)
+    row1 = row1.at[:, 2].set(cy).at[:, 3].set(cx)
     rest = jnp.zeros((B, 6, 128), jnp.int32)
     return jnp.concatenate(
         [packed[:, None, :], row1[:, None, :], rest], axis=1)
@@ -170,7 +183,7 @@ def pallas_apply_scans(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(padded_grids.shape, jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((geom.win_rows, geom.win_cols), jnp.int8),
+            pltpu.VMEM((geom.win_rows + _AWR_PAD, _AWC), jnp.int8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

@@ -106,6 +106,7 @@ def mapping_step(
     frame: dict,
     cfg: PipelineConfig = UL_PROFILE,
     geom: GridGeom = DEFAULT_GEOM,
+    use_pallas: bool = False,
 ):
     """One scanrec (for the whole [B] batch) through the mapper.
 
@@ -152,11 +153,16 @@ def mapping_step(
         x, yaw, frame["of_q"].astype(jnp.int32), frame["of_rate_x"],
         frame["sys_health"], cfg.gates.of_min_quality,
     )
-    grid = jax.vmap(
-        lambda gi, b, xi, yi, yawi, oxi, oyi, en: apply_scan_to_grid(
-            gi, b, xi, yi, yawi, oxi, oyi, en, cfg.map, cfg.tof, geom
-        )
-    )(grid, beams, x, y, yaw, origin_x, origin_y, enabled)
+    if use_pallas:
+        from micro_quad_slam_tpu.ops.pallas_raycast import pallas_apply_scans
+        grid = pallas_apply_scans(grid, beams, x, y, yaw, origin_x,
+                                  origin_y, enabled, cfg.map, cfg.tof, geom)
+    else:
+        grid = jax.vmap(
+            lambda gi, b, xi, yi, yawi, oxi, oyi, en: apply_scan_to_grid(
+                gi, b, xi, yi, yawi, oxi, oyi, en, cfg.map, cfg.tof, geom
+            )
+        )(grid, beams, x, y, yaw, origin_x, origin_y, enabled)
 
     new_state = MappingState(grid, origin_x, origin_y, inited, filt)
     out = {
@@ -185,7 +191,8 @@ def scanlog_to_arrays(scanlog) -> dict:
 _SEQ_KEYS = ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health", "state")
 
 
-def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom):
+def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
+                    use_pallas: bool = False):
     """frames: dict of [B, T, ...] arrays -> (MappingState [B], outs [B, T])."""
     B, T = frames["x_m"].shape
     # beams for every (flight, frame) at once — parallel, outside the scan
@@ -195,18 +202,20 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom):
     seq["minima"] = jnp.moveaxis(minima, 0, 1)
 
     def step(st, fr):
-        return mapping_step(st, fr, cfg, geom)
+        return mapping_step(st, fr, cfg, geom, use_pallas)
 
     state, outs = lax.scan(step, mapping_init(B, geom), seq)
     outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}  # [B, T, ...]
     return state, outs
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def replay_mapping_batched(frames: dict, cfg: PipelineConfig = UL_PROFILE,
-                           geom: GridGeom = DEFAULT_GEOM):
-    """Batched replay: frames dict of [B, T, ...] arrays."""
-    return _replay_batched(frames, cfg, geom)
+                           geom: GridGeom = DEFAULT_GEOM,
+                           use_pallas: bool = False):
+    """Batched replay: frames dict of [B, T, ...] arrays.  use_pallas
+    selects the fused Pallas window kernel (TPU only; bit-identical)."""
+    return _replay_batched(frames, cfg, geom, use_pallas)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

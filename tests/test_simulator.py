@@ -83,3 +83,36 @@ def test_swarm_lanes_independent():
     # determinism: same seed -> bit-identical
     np.testing.assert_array_equal(np.asarray(d1["state"]), np.asarray(d2["state"]))
     np.testing.assert_array_equal(np.asarray(st1.mapper.grid), np.asarray(st2.mapper.grid))
+
+
+def test_sim_recording_roundtrips_through_replay(tmp_path):
+    """Record a sim flight, write reference-format scanlog.bin, replay it
+    through the mapping engine: the replayed map must resemble the sim's
+    own online map (same world, same poses)."""
+    import jax
+    from micro_quad_slam_tpu.formats import read_scanlog, write_scanlog
+    from micro_quad_slam_tpu.models.simulator import sim_diag_to_scanlogs
+    from micro_quad_slam_tpu.replay import replay_mapping, scanlog_to_arrays
+
+    B = 2
+    world = make_world(B, room=(-3.0, -3.0, 3.0, 3.0))
+    st = sim_init(B, jax.random.PRNGKey(11), spread_m=0.3)
+    st, diag = sim_run(st, world, 1000, UL_PROFILE, record=True)
+    logs = sim_diag_to_scanlogs(diag)
+    assert len(logs) == B
+    assert len(logs[0]) == 1000 * 20 // 100  # one record per scan tick
+
+    p = str(tmp_path / "sim_flight.bin")
+    write_scanlog(p, logs[0])
+    back = read_scanlog(p)
+
+    state, outs = replay_mapping(scanlog_to_arrays(back), UL_PROFILE)
+    replay_grid = np.asarray(logical_grid(state.grid))
+    sim_grid = np.asarray(logical_grid(st.mapper.grid))[0]
+    # same scans, same (EKF) poses -> strongly overlapping occupied sets
+    ro = replay_grid > 10
+    so = sim_grid > 10
+    assert so.sum() > 20
+    inter = (ro & so).sum()
+    union = (ro | so).sum()
+    assert inter / max(union, 1) > 0.5, (inter, union)
