@@ -140,3 +140,47 @@ def decode_stream_arrays(data) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, 
         else np.zeros((0, 4, 8, 8), np.uint16)
     )
     return t, g, ctrls
+
+
+class CtrlDebouncer:
+    """Clean-revision DISARM debounce at the CTRL intake
+    (clean_uav_fc_tof_nav.c:1605-1654): a DISARM only takes effect after
+    CTRL_DISARM_MIN_STREAK frames with identical-or-consecutive sequence
+    numbers inside a CTRL_DISARM_CONFIRM_MS window — spurious 0xA6 headers
+    inside the ToF byte stream forge plausible-looking CTRL frames, and
+    this rejects them.  ARM frames pass through immediately.
+
+    feed(cmd, seq, t_ms) -> True/False/None for ARM / confirmed DISARM /
+    still pending.
+    """
+
+    def __init__(self, confirm_ms: int = 500, min_streak: int = 2):
+        self.confirm_ms = confirm_ms
+        self.min_streak = min_streak
+        self._last_seq = 0
+        self._streak = 0
+        self._first_ms = 0
+
+    def feed(self, cmd: int, seq: int, t_ms: int):
+        if cmd == CMD_ARM:
+            self._streak = 0
+            self._first_ms = 0
+            return True
+        if cmd != CMD_DISARM:
+            return None
+        seq_ok = seq in (self._last_seq, (self._last_seq + 1) & 0xFFFFFFFF)
+        new_window = (self._first_ms == 0
+                      or (t_ms - self._first_ms) > self.confirm_ms
+                      or (not seq_ok and self._streak > 0))
+        if new_window:
+            self._first_ms = t_ms
+            self._streak = 1
+            self._last_seq = seq
+            return None
+        self._streak += 1
+        self._last_seq = seq
+        if self._streak < self.min_streak:
+            return None
+        self._streak = 0
+        self._first_ms = 0
+        return False

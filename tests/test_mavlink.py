@@ -1,0 +1,118 @@
+"""MAVLink v1 codec + CTRL debounce tests (vehicle-interface layer)."""
+
+import math
+
+import numpy as np
+
+from micro_quad_slam_tpu.formats.mavlink import (
+    CMD_COMPONENT_ARM_DISARM,
+    CMD_NAV_TAKEOFF,
+    FRAME_BODY_OFFSET_NED,
+    MASK_POSITION,
+    MASK_VELOCITY,
+    MavEncoder,
+    decode_mavlink_stream,
+    encode_command_stream,
+    x25_crc,
+)
+from micro_quad_slam_tpu.formats.scanframe import CtrlDebouncer
+
+
+def test_x25_crc_known_vector():
+    # MAVLink's accumulate is CRC-16/MCRF4XX (init 0xFFFF, no final xor):
+    # check value for "123456789" is 0x6F91
+    assert x25_crc(b"123456789") == 0x6F91
+
+
+def test_heartbeat_roundtrip():
+    enc = MavEncoder(sysid=252)
+    frame = enc.heartbeat()
+    assert frame[0] == 0xFE and frame[5] == 0  # HEARTBEAT msgid
+    msgs = list(decode_mavlink_stream(frame))
+    assert len(msgs) == 1
+    name, f = msgs[0]
+    assert name == "HEARTBEAT" and f["type"] == 18 and f["_sysid"] == 252
+
+
+def test_command_and_setpoint_roundtrip():
+    enc = MavEncoder()
+    buf = (enc.arm(1, 1) + enc.takeoff(1, 1, 0.5)
+           + enc.velocity_setpoint(1234, 1, 1, 0.35, 0.0, 0.0,
+                                   math.radians(15.0))
+           + enc.position_setpoint(1250, 1, 1, 1.0, -2.0, -0.5, 1.57)
+           + enc.disarm_force(1, 1))
+    msgs = list(decode_mavlink_stream(buf))
+    names = [n for n, _ in msgs]
+    assert names == ["COMMAND_LONG", "COMMAND_LONG",
+                     "SET_POSITION_TARGET_LOCAL_NED",
+                     "SET_POSITION_TARGET_LOCAL_NED", "COMMAND_LONG"]
+    arm = msgs[0][1]
+    assert arm["command"] == CMD_COMPONENT_ARM_DISARM and arm["param1"] == 1.0
+    tko = msgs[1][1]
+    assert tko["command"] == CMD_NAV_TAKEOFF
+    assert abs(tko["param7"] - 0.5) < 1e-6
+    vel = msgs[2][1]
+    assert vel["type_mask"] == MASK_VELOCITY
+    assert vel["coordinate_frame"] == FRAME_BODY_OFFSET_NED
+    assert abs(vel["vx"] - 0.35) < 1e-6
+    pos = msgs[3][1]
+    assert pos["type_mask"] == MASK_POSITION and abs(pos["y"] + 2.0) < 1e-6
+    dis = msgs[4][1]
+    assert dis["param2"] == 21196.0  # force-disarm magic
+
+
+def test_stream_negotiation_matches_reference_rates():
+    enc = MavEncoder()
+    msgs = list(decode_mavlink_stream(enc.stream_negotiation(1)))
+    cl = [f for n, f in msgs if n == "COMMAND_LONG"]
+    assert len(cl) == 10
+    # ATTITUDE (30) at 50000 us = 20 Hz (uav_local_nav.c:1026)
+    att = next(f for f in cl if f["param1"] == 30.0)
+    assert att["param2"] == 50000.0
+    rds = [f for n, f in msgs if n == "REQUEST_DATA_STREAM"]
+    assert len(rds) == 1 and rds[0]["req_stream_id"] == 3
+
+
+def test_corrupt_frame_resync():
+    enc = MavEncoder()
+    a = bytearray(enc.heartbeat())
+    b = enc.arm(1, 1)
+    a[7] ^= 0xFF  # corrupt payload -> CRC fails
+    msgs = list(decode_mavlink_stream(bytes(a) + b))
+    assert [n for n, _ in msgs] == ["COMMAND_LONG"]
+
+
+def test_encode_command_stream_from_behavior_outputs():
+    enc = MavEncoder()
+    out = {"req_mode": 4, "req_arm": 1, "req_takeoff": 0.5,
+           "cmd_kind": 1, "cmd": (0.35, 0.0, 0.0, 12.0),
+           "rc_release": True}
+    buf = encode_command_stream(enc, 5000, out, heartbeat_due=True)
+    names = [n for n, _ in decode_mavlink_stream(buf)]
+    assert names == ["HEARTBEAT", "SET_MODE", "COMMAND_LONG",  # DO_SET_MODE
+                     "COMMAND_LONG",  # arm
+                     "COMMAND_LONG",  # takeoff
+                     "SET_POSITION_TARGET_LOCAL_NED",
+                     "RC_CHANNELS_OVERRIDE"]
+
+
+def test_rcmap_request_param_ids():
+    enc = MavEncoder()
+    msgs = list(decode_mavlink_stream(enc.rcmap_requests(1, 1)))
+    ids = [f["param_id"].rstrip(b"\x00").decode() for _, f in msgs]
+    assert ids == ["RCMAP_ROLL", "RCMAP_PITCH", "RCMAP_THROTTLE",
+                   "RCMAP_YAW"]
+
+
+def test_ctrl_debouncer():
+    d = CtrlDebouncer()
+    assert d.feed(1, 5, 100) is True            # ARM immediate
+    assert d.feed(0, 10, 200) is None           # first DISARM pending
+    assert d.feed(0, 11, 300) is False          # consecutive seq confirms
+    # spurious lone DISARM never confirms
+    assert d.feed(0, 50, 1000) is None
+    assert d.feed(0, 999, 1100) is None         # wrong seq -> new window
+    assert d.feed(0, 1000, 1200) is False       # then a real streak works
+    # window expiry resets the streak
+    assert d.feed(0, 7, 5000) is None
+    assert d.feed(0, 8, 5600) is None           # 600 ms later: new window
