@@ -129,8 +129,9 @@ def cmd_sim(args) -> int:
                        obstacles=[(1.5, -0.5, 2.5, 0.5)])
     st = sim_init(B, jax.random.PRNGKey(args.seed), spread_m=0.5)
     steps = int(args.seconds * 1000 / args.dt_ms)
+    record = bool(args.out_prefix) or bool(args.emit_mavlink)
     st, diag = sim_run(st, world, steps, _profile(args.profile),
-                       dt_ms=args.dt_ms)
+                       dt_ms=args.dt_ms, record=record)
     states = np.asarray(diag["state"])[-1]
     from collections import Counter
     mix = Counter(STATE_NAMES_UL[s] for s in states)
@@ -140,8 +141,22 @@ def cmd_sim(args) -> int:
           f"occupied cells/quad median={int(np.median(occ))}; "
           f"pose err max={float(np.asarray(diag['pose_err'])[-1].max()):.3f} m")
     if args.out_prefix:
+        from micro_quad_slam_tpu.formats import write_scanlog
+        from micro_quad_slam_tpu.models.simulator import sim_diag_to_scanlogs
         np.save(f"{args.out_prefix}_grids.npy", grids)
         print(f"grids -> {args.out_prefix}_grids.npy")
+        logs = sim_diag_to_scanlogs(diag)
+        for b, lg in enumerate(logs[:4]):
+            write_scanlog(f"{args.out_prefix}_q{b}.bin", lg)
+        print(f"scanlogs -> {args.out_prefix}_q*.bin "
+              f"(first {min(4, len(logs))} quads)")
+    if args.emit_mavlink:
+        from micro_quad_slam_tpu.models.simulator import sim_diag_to_mavlink
+        buf = sim_diag_to_mavlink(diag, quad=0)
+        with open(args.emit_mavlink, "wb") as f:
+            f.write(buf)
+        print(f"quad 0 FC command stream ({len(buf)} bytes) -> "
+              f"{args.emit_mavlink}")
     return 0
 
 
@@ -226,6 +241,8 @@ def main(argv=None) -> int:
     pm.add_argument("--seed", type=int, default=0)
     pm.add_argument("--profile", default="ul", choices=("ul", "cl"))
     pm.add_argument("--out-prefix")
+    pm.add_argument("--emit-mavlink",
+                    help="write quad 0's MAVLink command stream to a file")
     pm.set_defaults(fn=cmd_sim)
 
     py = sub.add_parser("synth", help="generate a synthetic scanlog")

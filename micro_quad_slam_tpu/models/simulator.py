@@ -458,6 +458,12 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
             "of_rate_y": of_rate_y,
             "of_q": of_q.astype(jnp.uint8),
             "kf_flags": out["kf_flags"].astype(jnp.uint8),
+            "cmd_kind": out["cmd_kind"],
+            "cmd": out["cmd"],
+            "req_mode": out["req_mode"],
+            "req_arm": out["req_arm"],
+            "req_takeoff": out["req_takeoff"],
+            "rc_release": out["rc_release"],
         })
     return new_state, diag
 
@@ -476,6 +482,35 @@ def sim_run(state: SimState, world: World, n_steps: int,
         return st, diag
 
     return lax.scan(step, state, None, length=n_steps)
+
+
+def sim_diag_to_mavlink(diag: dict, quad: int = 0, tgt_sys: int = 1,
+                        tgt_comp: int = 1) -> bytes:
+    """Render one quad's recorded command outputs as the MAVLink byte
+    stream the reference would have written to its FC UART (L1 boundary;
+    heartbeat at 1 Hz like send_own_heartbeat_tick, uav_local_nav.c:682)."""
+    from micro_quad_slam_tpu.formats.mavlink import (
+        MavEncoder, encode_command_stream)
+
+    enc = MavEncoder()
+    t_all = np.asarray(diag["t_ms"])[:, quad]
+    buf = b""
+    last_hb = -10 ** 9
+    for k in range(t_all.shape[0]):
+        t = int(t_all[k])
+        hb_due = t - last_hb >= 1000
+        if hb_due:
+            last_hb = t
+        out = {
+            "req_mode": int(np.asarray(diag["req_mode"])[k, quad]),
+            "req_arm": int(np.asarray(diag["req_arm"])[k, quad]),
+            "req_takeoff": float(np.asarray(diag["req_takeoff"])[k, quad]),
+            "cmd_kind": int(np.asarray(diag["cmd_kind"])[k, quad]),
+            "cmd": np.asarray(diag["cmd"])[k, quad],
+            "rc_release": bool(np.asarray(diag["rc_release"])[k, quad]),
+        }
+        buf += encode_command_stream(enc, t, out, tgt_sys, tgt_comp, hb_due)
+    return buf
 
 
 def sim_diag_to_scanlogs(diag: dict) -> list:
