@@ -12,7 +12,9 @@ rate (~10 frames/s on the companion SBC, BASELINE.md).
 Env knobs: MQS_BENCH_B (batch, default 256), MQS_BENCH_T (frames/log,
 default 256), MQS_BENCH_REPS (timed reps, default 3),
 MQS_BENCH_MODE=replay|swarm (default replay; swarm = closed-loop
-simulator, BASELINE config 5: quads x 1 kHz control ticks).
+simulator, BASELINE config 5: quads x 1 kHz control ticks),
+MQS_BENCH_KERNEL=xla|pallas|cone (replay map-update kernel; cone is the
+dense inverse-model production mode, not bit-exact).
 """
 
 import json
@@ -104,14 +106,14 @@ def main() -> None:
     mesh = make_mesh()
     frames = shard_batch(frames, mesh)
 
-    if os.environ.get("MQS_BENCH_PALLAS") == "1":
+    kernel = os.environ.get("MQS_BENCH_KERNEL", "xla")
+    if kernel != "xla":
+        from micro_quad_slam_tpu.parallel.mesh import batch_metrics
         from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
-        run = lambda: replay_mapping_batched(frames, UL_PROFILE,
-                                             DEFAULT_GEOM, True) + ({},)
-        run0 = run
+
         def run():
-            state, outs, _ = run0()
-            from micro_quad_slam_tpu.parallel.mesh import batch_metrics
+            state, outs = replay_mapping_batched(frames, UL_PROFILE,
+                                                 DEFAULT_GEOM, kernel)
             return state, outs, batch_metrics(outs)
     else:
         run = lambda: _replay_batched_with_metrics(frames, UL_PROFILE, DEFAULT_GEOM)

@@ -47,7 +47,12 @@ def cmd_replay(args) -> int:
     from micro_quad_slam_tpu.replay import replay_mapping, scanlog_to_arrays
 
     log = _load_log(args.log)
-    state, outs = replay_mapping(scanlog_to_arrays(log), _profile(args.profile))
+    from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
+    frames = {k: v[None] for k, v in scanlog_to_arrays(log).items()}
+    state, outs = replay_mapping_batched(frames, _profile(args.profile),
+                                         kernel=args.kernel)
+    state = type(state)(*(v[0] for v in state))
+    outs = {k: v[0] for k, v in outs.items()}
     grid = np.asarray(logical_grid(state.grid))
     used = int(np.asarray(outs["used"]).sum())
     print(f"replayed {len(log)} frames ({used} mapped); "
@@ -217,6 +222,11 @@ def main(argv=None) -> int:
     pr.add_argument("--log", required=True)
     pr.add_argument("--out")
     pr.add_argument("--profile", default="ul", choices=("ul", "cl"))
+    pr.add_argument("--kernel", default="xla",
+                    choices=("xla", "pallas", "cone"),
+                    help="map-update kernel: xla/pallas are bit-exact "
+                         "reference semantics; cone is the dense "
+                         "inverse-model production mode")
     pr.add_argument("--ascii", action="store_true")
     pr.set_defaults(fn=cmd_replay)
 

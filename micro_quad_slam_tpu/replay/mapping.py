@@ -106,7 +106,7 @@ def mapping_step(
     frame: dict,
     cfg: PipelineConfig = UL_PROFILE,
     geom: GridGeom = DEFAULT_GEOM,
-    use_pallas: bool = False,
+    kernel: str = "xla",
 ):
     """One scanrec (for the whole [B] batch) through the mapper.
 
@@ -153,10 +153,17 @@ def mapping_step(
         x, yaw, frame["of_q"].astype(jnp.int32), frame["of_rate_x"],
         frame["sys_health"], cfg.gates.of_min_quality,
     )
-    if use_pallas:
+    if kernel == "pallas":
         from micro_quad_slam_tpu.ops.pallas_raycast import pallas_apply_scans
         grid = pallas_apply_scans(grid, beams, x, y, yaw, origin_x,
                                   origin_y, enabled, cfg.map, cfg.tof, geom)
+    elif kernel == "cone":
+        from micro_quad_slam_tpu.ops.conemode import cone_scan_update
+        grid = jax.vmap(
+            lambda gi, b, xi, yi, yawi, oxi, oyi, en: cone_scan_update(
+                gi, b, xi, yi, yawi, oxi, oyi, en, cfg.map, cfg.tof, geom
+            )
+        )(grid, beams, x, y, yaw, origin_x, origin_y, enabled)
     else:
         grid = jax.vmap(
             lambda gi, b, xi, yi, yawi, oxi, oyi, en: apply_scan_to_grid(
@@ -192,7 +199,7 @@ _SEQ_KEYS = ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health", "state"
 
 
 def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
-                    use_pallas: bool = False):
+                    kernel: str = "xla"):
     """frames: dict of [B, T, ...] arrays -> (MappingState [B], outs [B, T])."""
     B, T = frames["x_m"].shape
     # beams for every (flight, frame) at once — parallel, outside the scan
@@ -202,7 +209,7 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     seq["minima"] = jnp.moveaxis(minima, 0, 1)
 
     def step(st, fr):
-        return mapping_step(st, fr, cfg, geom, use_pallas)
+        return mapping_step(st, fr, cfg, geom, kernel)
 
     state, outs = lax.scan(step, mapping_init(B, geom), seq)
     outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}  # [B, T, ...]
@@ -212,10 +219,12 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def replay_mapping_batched(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                            geom: GridGeom = DEFAULT_GEOM,
-                           use_pallas: bool = False):
-    """Batched replay: frames dict of [B, T, ...] arrays.  use_pallas
-    selects the fused Pallas window kernel (TPU only; bit-identical)."""
-    return _replay_batched(frames, cfg, geom, use_pallas)
+                           kernel: str = "xla"):
+    """Batched replay: frames dict of [B, T, ...] arrays.  kernel:
+    "xla" (bit-exact reference semantics), "pallas" (fused TPU kernel,
+    bit-identical to xla), or "cone" (dense inverse sensor model — the
+    production mapping mode, far faster and denser, not bit-exact)."""
+    return _replay_batched(frames, cfg, geom, kernel)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -1,0 +1,89 @@
+"""Cone-mode (dense inverse sensor model) tests: geometry, density vs the
+Bresenham mode, and gating."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from micro_quad_slam_tpu.golden import compute_beams_and_minima
+from micro_quad_slam_tpu.ops import apply_scan_to_grid, logical_grid, new_padded_grid
+from micro_quad_slam_tpu.ops.conemode import cone_scan_update
+from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM as GEOM
+from micro_quad_slam_tpu.sim import synth_room_scanlog
+from micro_quad_slam_tpu.utils.config import MapConfig
+
+CFG = MapConfig()
+F32 = np.float32
+
+
+@jax.jit
+def _cone(padded, beams, x, y, yaw):
+    return cone_scan_update(padded, beams, x, y, yaw, F32(0.0), F32(0.0),
+                            True, CFG)
+
+
+def _room_beams(room=(-2.0, -2.0, 2.0, 2.0)):
+    log = synth_room_scanlog(n_frames=1, room=room, path="hover")
+    beams, _ = compute_beams_and_minima(log.grid_mm[0])
+    return jnp.asarray(beams)
+
+
+def test_cone_marks_walls_and_carves_free():
+    beams = _room_beams()
+    out = _cone(new_padded_grid(), beams, F32(0.0), F32(0.0), F32(0.0))
+    g = np.asarray(logical_grid(out))
+    occ = np.argwhere(g > 0)
+    free = np.argwhere(g < 0)
+    assert len(occ) > 30 and len(free) > 800
+    # occupied cells sit near the 2 m walls (20 cells from center)
+    d = np.abs(occ - 250).max(axis=1)
+    assert d.min() >= 18 and d.max() <= 22
+    # free cells are strictly inside
+    df = np.abs(free - 250).max(axis=1)
+    assert df.max() <= 21
+
+
+def test_cone_denser_than_bresenham():
+    # larger room: ray gaps widen with range, the inverse model fills them
+    beams = _room_beams(room=(-3.5, -3.5, 3.5, 3.5))
+    cone_g = np.asarray(logical_grid(
+        _cone(new_padded_grid(), beams, F32(0.0), F32(0.0), F32(0.0))))
+    bres = apply_scan_to_grid(new_padded_grid(), beams, F32(0.0), F32(0.0),
+                              F32(0.0), F32(0.0), F32(0.0), True, CFG)
+    bres_g = np.asarray(logical_grid(bres))
+    # the inverse model touches far more cells per scan
+    assert (cone_g != 0).sum() > 2.5 * (bres_g != 0).sum()
+
+
+def test_cone_respects_gating_and_pose_bounds():
+    beams = _room_beams()
+    out = cone_scan_update(new_padded_grid(), beams, F32(0.0), F32(0.0),
+                           F32(0.0), F32(0.0), F32(0.0), False, CFG)
+    assert not np.asarray(logical_grid(out)).any()
+    out = cone_scan_update(new_padded_grid(), beams, F32(60.0), F32(0.0),
+                           F32(0.0), F32(0.0), F32(0.0), True, CFG)
+    assert not np.asarray(logical_grid(out)).any()
+
+
+def test_cone_yaw_rotates_the_fans():
+    # only the FRONT sensor sees a wall: rotate yaw 90 deg -> the occupied
+    # band rotates from +x to +y
+    beams = jnp.full((4, 8), jnp.nan).at[0].set(1.5)
+    g0 = np.asarray(logical_grid(
+        _cone(new_padded_grid(), beams, F32(0.0), F32(0.0), F32(0.0))))
+    g90 = np.asarray(logical_grid(
+        _cone(new_padded_grid(), beams, F32(0.0), F32(0.0), F32(90.0))))
+    occ0 = np.argwhere(g0 > 0)
+    occ90 = np.argwhere(g90 > 0)
+    assert (occ0[:, 1] > 250).all()   # +x (cols)
+    assert (occ90[:, 0] > 250).all()  # +y (rows)
+
+
+def test_cone_accumulates_and_clamps():
+    beams = _room_beams()
+    padded = new_padded_grid()
+    for _ in range(20):
+        padded = _cone(padded, beams, F32(0.0), F32(0.0), F32(0.0))
+    g = np.asarray(logical_grid(padded))
+    assert g.max() == 80 and g.min() == -20  # 20 scans x (-1) free
+    assert g.min() >= CFG.lo_min and g.max() <= CFG.lo_max
