@@ -59,6 +59,63 @@ _MSGS = {
         ("time_boot_ms", "x", "y", "z", "vx", "vy", "vz", "afx", "afy",
          "afz", "yaw", "yaw_rate", "type_mask", "target_system",
          "target_component", "coordinate_frame")),
+    # ---- inbound FC telemetry (the 14-18 handlers of SURVEY §2C C1) ----
+    "SYS_STATUS": (1, 124, "<IIIHHhHHHHHHb",
+                   ("onboard_control_sensors_present",
+                    "onboard_control_sensors_enabled",
+                    "onboard_control_sensors_health", "load",
+                    "voltage_battery", "current_battery",
+                    "drop_rate_comm", "errors_comm", "errors_count1",
+                    "errors_count2", "errors_count3", "errors_count4",
+                    "battery_remaining")),
+    "PARAM_VALUE": (22, 220, "<fHH16sB",
+                    ("param_value", "param_count", "param_index",
+                     "param_id", "param_type")),
+    "ATTITUDE": (30, 39, "<I6f",
+                 ("time_boot_ms", "roll", "pitch", "yaw", "rollspeed",
+                  "pitchspeed", "yawspeed")),
+    "LOCAL_POSITION_NED": (32, 185, "<I6f",
+                           ("time_boot_ms", "x", "y", "z", "vx", "vy",
+                            "vz")),
+    "SERVO_OUTPUT_RAW": (36, 222, "<I8HB",
+                         ("time_usec", "servo1_raw", "servo2_raw",
+                          "servo3_raw", "servo4_raw", "servo5_raw",
+                          "servo6_raw", "servo7_raw", "servo8_raw",
+                          "port")),
+    "RC_CHANNELS": (65, 118, "<I18HBB",
+                    ("time_boot_ms",) + tuple(f"chan{i}_raw" for i in
+                                              range(1, 19))
+                    + ("chancount", "rssi")),
+    "COMMAND_ACK": (77, 143, "<HB", ("command", "result")),
+    "OPTICAL_FLOW": (100, 175, "<Q3fhhBB",
+                     ("time_usec", "flow_comp_m_x", "flow_comp_m_y",
+                      "ground_distance", "flow_x", "flow_y", "sensor_id",
+                      "quality")),
+    "OPTICAL_FLOW_RAD": (106, 138, "<QI5fIfhBB",
+                         ("time_usec", "integration_time_us",
+                          "integrated_x", "integrated_y",
+                          "integrated_xgyro", "integrated_ygyro",
+                          "integrated_zgyro", "time_delta_distance_us",
+                          "distance", "temperature", "sensor_id",
+                          "quality")),
+    "DISTANCE_SENSOR": (132, 85, "<IHHHBBBB",
+                        ("time_boot_ms", "min_distance", "max_distance",
+                         "current_distance", "type", "id", "orientation",
+                         "covariance")),
+    "BATTERY_STATUS": (147, 154, "<iih10HhBBBb",
+                       ("current_consumed", "energy_consumed",
+                        "temperature") + tuple(f"voltage{i}" for i in
+                                               range(10))
+                       + ("current_battery", "id", "battery_function",
+                          "type", "battery_remaining")),
+    "RANGEFINDER": (173, 83, "<ff", ("distance", "voltage")),
+    "VIBRATION": (241, 90, "<Q3f3I",
+                  ("time_usec", "vibration_x", "vibration_y",
+                   "vibration_z", "clipping_0", "clipping_1",
+                   "clipping_2")),
+    "EXTENDED_SYS_STATE": (245, 130, "<BB",
+                           ("vtol_state", "landed_state")),
+    "STATUSTEXT": (253, 83, "<B50s", ("severity", "text")),
 }
 _BY_ID = {v[0]: (k, v[1], v[2], v[3]) for k, v in _MSGS.items()}
 
