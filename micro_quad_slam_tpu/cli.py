@@ -61,6 +61,21 @@ def cmd_replay(args) -> int:
     if args.out:
         np.save(args.out, grid)
         print(f"map -> {args.out}")
+    if args.navlog:
+        from micro_quad_slam_tpu.formats import NavlogWriter
+        filt = np.asarray(outs["filt"])
+        with NavlogWriter(args.navlog) as w:
+            for i in range(len(log)):
+                w.write_row(
+                    int(log.host_ms[i]), int(log.state[i]), True, True, 4,
+                    float(log.yaw_deg[i]), float(log.alt_m[i]), 2,
+                    float(log.x_m[i]), float(log.y_m[i]),
+                    float("nan"), float("nan"), float(log.rf_m[i]),
+                    int(log.of_q[i]), float(log.of_rate_x[i]),
+                    float(log.of_rate_y[i]), float(filt[i, 0]),
+                    float(filt[i, 1]), float(filt[i, 2]), float(filt[i, 3]),
+                    float("nan"), 0)
+        print(f"navlog -> {args.navlog}")
     if args.ascii:
         print(_ascii_map(grid))
     return 0
@@ -228,6 +243,8 @@ def main(argv=None) -> int:
                          "reference semantics; cone is the dense "
                          "inverse-model production mode")
     pr.add_argument("--ascii", action="store_true")
+    pr.add_argument("--navlog", help="write a reference-format navlog.csv "
+                                     "of the replay")
     pr.set_defaults(fn=cmd_replay)
 
     pf = sub.add_parser("fusion", help="EKF pose track from raw streams")
