@@ -116,3 +116,24 @@ def test_ctrl_debouncer():
     # window expiry resets the streak
     assert d.feed(0, 7, 5000) is None
     assert d.feed(0, 8, 5600) is None           # 600 ms later: new window
+
+
+def test_arm_remote_hold_and_tap():
+    from micro_quad_slam_tpu.formats.armlink import (
+        ArmRemote, decode_arm_msg)
+
+    r = ArmRemote()
+    assert r.press(0) is None
+    assert r.tick(400) is None            # not held long enough
+    msg = r.tick(700)                     # 650 ms hold -> ARM
+    m = decode_arm_msg(msg)
+    assert m == {"cmd": 1, "seq": 1, "t_ms": 700}
+    assert r.release(800) is None         # already fired
+    # tap while armed -> DISARM
+    assert r.press(2000) is None
+    msg = r.release(2100)
+    assert decode_arm_msg(msg)["cmd"] == 0
+    # rejects garbage
+    assert decode_arm_msg(b"\x00" * 10) is None
+    assert decode_arm_msg(b"\xc3\x05" + b"\x00" * 8) is None
+    assert decode_arm_msg(b"short") is None
