@@ -340,7 +340,7 @@ AIRBORNE_STATES = (ST_HOVER, ST_EXPLORE, ST_TURNING, ST_LANDING)
 
 def golden_replay_mapping(
     scanlog, cfg: MapConfig = MapConfig(), tof: TofConfig = TofConfig(),
-    of_min_quality: int = 50,
+    of_min_quality: int = 50, airborne_states: tuple = AIRBORNE_STATES,
 ):
     """Replay a ScanLog through the golden mapper: the reference's offline
     mapping pipeline (call stack SURVEY.md §3.2) recomputed from logged poses.
@@ -368,7 +368,7 @@ def golden_replay_mapping(
         yaw = float(scanlog.yaw_deg[t])
         st = int(scanlog.state[t])
         if not mapper.inited:
-            if np.isfinite(x) and np.isfinite(y) and st in AIRBORNE_STATES:
+            if np.isfinite(x) and np.isfinite(y) and st in airborne_states:
                 mapper.init_map(x, y)
             else:
                 continue

@@ -124,9 +124,13 @@ def mapping_step(
     x, y, yaw = frame["x_m"], frame["y_m"], frame["yaw_deg"]
     pose_finite = jnp.isfinite(x) & jnp.isfinite(y)
 
-    # map init at first airborne record with a finite pose
+    # map init at first airborne record with a finite pose.  The state
+    # byte uses the writing binary's enum: UL has HOVER..LANDING = 5..8
+    # (uav_local_nav.c:484-496); CL (no EXPLORE/TURNING) has
+    # HOVER, LANDING = 5, 6 (clean:325-335).
     st = frame["state"].astype(jnp.int32)
-    airborne = (st >= ST_HOVER) & (st <= ST_LANDING)
+    st_hi = ST_LANDING if cfg.behavior.explore_enabled else 6
+    airborne = (st >= ST_HOVER) & (st <= st_hi)
     do_init = (~state.inited) & pose_finite & airborne
     origin_x = jnp.where(do_init, x, state.origin_x)
     origin_y = jnp.where(do_init, y, state.origin_y)

@@ -117,3 +117,20 @@ def test_batched_replay_identical_logs_identical_maps():
     g = np.asarray(bstate.grid)
     np.testing.assert_array_equal(g[0], g[1])
     np.testing.assert_array_equal(g[0], g[2])
+
+
+def test_cl_profile_replay_uses_cl_state_enum():
+    """CL logs number LANDING=6; a CL-profile replay must init the map on
+    those states and must NOT treat CL DISARMING (7) as airborne."""
+    from micro_quad_slam_tpu.utils.config import CL_PROFILE
+
+    log = synth_room_scanlog(n_frames=8, seed=29)
+    log.state[:] = 6  # CL LANDING
+    frames = scanlog_to_arrays(log)
+    state, outs = replay_mapping(frames, CL_PROFILE)
+    assert bool(state.inited)
+
+    log.state[:] = 7  # CL DISARMING — on the ground
+    frames = scanlog_to_arrays(log)
+    state, outs = replay_mapping(frames, CL_PROFILE)
+    assert not bool(state.inited)
