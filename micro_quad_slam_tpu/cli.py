@@ -44,7 +44,7 @@ def _ascii_map(grid: np.ndarray, half: int = 40, step: int = 2) -> str:
 
 def cmd_replay(args) -> int:
     from micro_quad_slam_tpu.ops import logical_grid
-    from micro_quad_slam_tpu.replay import replay_mapping, scanlog_to_arrays
+    from micro_quad_slam_tpu.replay import scanlog_to_arrays
 
     log = _load_log(args.log)
     from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
@@ -238,7 +238,7 @@ def main(argv=None) -> int:
     pr.add_argument("--out")
     pr.add_argument("--profile", default="ul", choices=("ul", "cl"))
     pr.add_argument("--kernel", default="xla",
-                    choices=("xla", "pallas", "cone"),
+                    choices=("xla", "pallas", "mxu", "cone"),
                     help="map-update kernel: xla/pallas are bit-exact "
                          "reference semantics; cone is the dense "
                          "inverse-model production mode")

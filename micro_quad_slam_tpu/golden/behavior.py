@@ -17,11 +17,8 @@ closed-loop simulator.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from dataclasses import dataclass, field
-from typing import Optional
-
 import numpy as np
 
 F32 = np.float32

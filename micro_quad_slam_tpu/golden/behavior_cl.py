@@ -42,11 +42,6 @@ from micro_quad_slam_tpu.golden.behavior import (
     CMD_ATT_THRUST,
     CMD_POS_YAW,
     CMD_VEL_NED,
-    KF_BATT_EMERG,
-    KF_BATT_LAND,
-    KF_LAND_START,
-    KF_LIFTOFF_AST,
-    KF_TAKEOFF,
     LANDED_ON_GROUND,
     MODE_GUIDED,
     MODE_LAND,
@@ -57,7 +52,6 @@ from micro_quad_slam_tpu.golden.behavior import (
     GoldenBehavior,
     Outputs,
     Telemetry,
-    wrap_deg,
 )
 
 F32 = np.float32

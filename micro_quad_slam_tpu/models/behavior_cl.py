@@ -18,7 +18,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from micro_quad_slam_tpu.models.behavior import (
-    _wrap_deg,
     ALT_GND,
     ALT_LPOS,
     ALT_NONE,

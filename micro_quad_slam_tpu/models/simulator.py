@@ -34,12 +34,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from micro_quad_slam_tpu.models.behavior import (
-    CMD_ATT_THRUST,
     CMD_POS_YAW,
-    CMD_RC_OVERRIDE,
     CMD_VEL_BODY,
     CMD_VEL_NED,
-    MODE_GUIDED,
     MODE_LAND,
     BehaviorState,
     behavior_init,

@@ -17,7 +17,6 @@ pixel_shift / focal_px / dt, and velocity = rate * ground_distance
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

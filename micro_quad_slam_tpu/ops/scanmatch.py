@@ -13,7 +13,6 @@ Fixed shapes, no loops, vmaps over quads.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

@@ -39,7 +39,6 @@ from micro_quad_slam_tpu.ops.raycast import (
 )
 from micro_quad_slam_tpu.ops.scanmatch import match_scan
 from micro_quad_slam_tpu.slam.posegraph import (
-    PoseGraph,
     add_edges,
     chain_odometry_graph,
     gauss_newton,

@@ -18,7 +18,6 @@ scale this framework targets (vmap over the quad axis).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np

@@ -207,3 +207,47 @@ def test_frontier_matches_golden():
         sc_j = np.asarray(fs_jit(padded, F32(x), F32(y), F32(yaw)))
         sc_g = [gm.frontier_score_dir(x, y, yaw, o) for o in offs]
         np.testing.assert_array_equal(sc_j, sc_g)
+
+
+def test_mxu_kernel_matches_xla():
+    """MXU window-IO variant (contiguous row slabs + one-hot bf16 matmul
+    column select) must be bit-identical to the XLA path."""
+    from micro_quad_slam_tpu.ops.raycast import apply_scan_to_grid_mxu
+
+    rng = np.random.default_rng(31)
+    B = 4
+    padded = np.zeros((B, GEOM.prows, GEOM.pcols), np.int8)
+    padded[:, GEOM.pad:GEOM.pad + 500, GEOM.pad:GEOM.pad + 500] = (
+        rng.integers(-80, 81, (B, 500, 500)).astype(np.int8))
+    beams = rng.uniform(0.05, 4.1, (B, 4, 8)).astype(np.float32)
+    beams[rng.random((B, 4, 8)) < 0.1] = np.nan
+    xs = rng.uniform(-20, 20, B).astype(np.float32)
+    ys = rng.uniform(-20, 20, B).astype(np.float32)
+    yaws = rng.uniform(-180, 180, B).astype(np.float32)
+    en = jnp.asarray([True, True, False, True])
+    z = jnp.zeros(B, jnp.float32)
+
+    o_m = jax.jit(lambda g, b, x, y, w, e: apply_scan_to_grid_mxu(
+        g, b, x, y, w, z, z, e, CFG))(
+        jnp.asarray(padded), jnp.asarray(beams), jnp.asarray(xs),
+        jnp.asarray(ys), jnp.asarray(yaws), en)
+    o_x = jax.vmap(lambda g, b, x, y, w, e: apply_scan_to_grid(
+        g, b, x, y, w, F32(0), F32(0), e, CFG))(
+        jnp.asarray(padded), jnp.asarray(beams), jnp.asarray(xs),
+        jnp.asarray(ys), jnp.asarray(yaws), en)
+    np.testing.assert_array_equal(np.asarray(o_m), np.asarray(o_x))
+
+
+def test_mxu_replay_bit_matches_golden():
+    from micro_quad_slam_tpu.golden import golden_replay_mapping
+    from micro_quad_slam_tpu.replay import replay_mapping_batched, scanlog_to_arrays
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    log = synth_room_scanlog(n_frames=20, seed=33, noise_mm=5.0,
+                             path="hover", yaw_rate_dps=25.0)
+    frames = {k: v[None] for k, v in scanlog_to_arrays(log).items()}
+    state, outs = replay_mapping_batched(frames, UL_PROFILE, kernel="mxu")
+    mapper, _ = golden_replay_mapping(log)
+    np.testing.assert_array_equal(
+        np.asarray(logical_grid(state.grid))[0], mapper.grid)
