@@ -166,6 +166,11 @@ def mapping_step(
         grid = apply_scan_to_grid_mxu(grid, beams, x, y, yaw, origin_x,
                                       origin_y, enabled, cfg.map, cfg.tof,
                                       geom)
+    elif kernel == "mxu2":
+        from micro_quad_slam_tpu.ops.raycast import apply_scan_to_grid_mxu2
+        grid = apply_scan_to_grid_mxu2(grid, beams, x, y, yaw, origin_x,
+                                       origin_y, enabled, cfg.map, cfg.tof,
+                                       geom)
     elif kernel == "cone":
         from micro_quad_slam_tpu.ops.conemode import cone_scan_update
         grid = jax.vmap(
@@ -220,7 +225,13 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     def step(st, fr):
         return mapping_step(st, fr, cfg, geom, kernel)
 
-    state, outs = lax.scan(step, mapping_init(B, geom), seq)
+    init = mapping_init(B, geom)
+    if kernel == "mxu2":
+        # the mxu2 kernel carries the grid in bf16 (int8 values exact)
+        init = init._replace(grid=init.grid.astype(jnp.bfloat16))
+    state, outs = lax.scan(step, init, seq)
+    if kernel == "mxu2":
+        state = state._replace(grid=jnp.round(state.grid).astype(jnp.int8))
     outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}  # [B, T, ...]
     return state, outs
 

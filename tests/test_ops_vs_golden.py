@@ -251,3 +251,20 @@ def test_mxu_replay_bit_matches_golden():
     mapper, _ = golden_replay_mapping(log)
     np.testing.assert_array_equal(
         np.asarray(logical_grid(state.grid))[0], mapper.grid)
+
+
+def test_mxu2_replay_bit_matches_golden():
+    """The gather-free double-one-hot-matmul kernel (bf16 grid carry)
+    must reproduce golden exactly after the int8 cast."""
+    from micro_quad_slam_tpu.golden import golden_replay_mapping
+    from micro_quad_slam_tpu.replay import replay_mapping_batched, scanlog_to_arrays
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    log = synth_room_scanlog(n_frames=18, seed=35, noise_mm=5.0,
+                             path="hover", yaw_rate_dps=30.0)
+    frames = {k: v[None] for k, v in scanlog_to_arrays(log).items()}
+    state, outs = replay_mapping_batched(frames, UL_PROFILE, kernel="mxu2")
+    mapper, _ = golden_replay_mapping(log)
+    np.testing.assert_array_equal(
+        np.asarray(logical_grid(state.grid))[0], mapper.grid)
