@@ -83,7 +83,7 @@ def main() -> None:
     from micro_quad_slam_tpu.sim import synth_room_scanlog
     from micro_quad_slam_tpu.utils.config import UL_PROFILE
 
-    B = int(os.environ.get("MQS_BENCH_B", "256"))
+    B = int(os.environ.get("MQS_BENCH_B", "1024"))
     T = int(os.environ.get("MQS_BENCH_T", "256"))
     reps = int(os.environ.get("MQS_BENCH_REPS", "3"))
 
@@ -106,7 +106,7 @@ def main() -> None:
     mesh = make_mesh()
     frames = shard_batch(frames, mesh)
 
-    kernel = os.environ.get("MQS_BENCH_KERNEL", "xla")
+    kernel = os.environ.get("MQS_BENCH_KERNEL", "mxu2")
     if kernel != "xla":
         from micro_quad_slam_tpu.parallel.mesh import batch_metrics
         from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
