@@ -51,6 +51,51 @@ _AWR_PAD = 8
 _AWC = 256
 
 
+def _compute_window(rw, win_ref, cy, cx, geom: GridGeom, cfg: MapConfig):
+    """The unrolled 32-ray pass on one VMEM window ref (shared by the
+    single-buffered and pipelined kernels)."""
+    AWR = geom.win_rows + _AWR_PAD
+    AWC = _AWC
+    rows = lax.broadcasted_iota(jnp.int32, (AWR, 1), 0) - cy   # v (y)
+    cols = lax.broadcasted_iota(jnp.int32, (1, AWC), 1) - cx   # u (x)
+
+    P = jnp.zeros((AWR, AWC), jnp.int32)
+    mx = jnp.zeros((AWR, AWC), jnp.int32)
+    mn = jnp.zeros((AWR, AWC), jnp.int32)
+
+    for r in range(32):
+        ex = rw(4 * r + 0)
+        ey = rw(4 * r + 1)
+        ed = rw(4 * r + 2)
+        val = rw(4 * r + 3) != 0
+        dx = jnp.abs(ex)
+        dy = jnp.abs(ey)
+        sx = jnp.where(ex > 0, 1, -1)
+        sy = jnp.where(ey > 0, 1, -1)
+        kx = cols * sx
+        ky = rows * sy
+        xmaj = dx >= dy
+        mX = (2 * kx * dy + dx) // jnp.maximum(2 * dx, 1)
+        mY = (2 * ky * dx + dy) // jnp.maximum(2 * dy, 1)
+        okX = (kx >= 0) & (kx <= dx) & xmaj & val
+        okY = (ky >= 0) & (ky <= dy) & (~xmaj) & val
+        mX = jnp.where(okX, mX, _SENT)
+        mY = jnp.where(okY, mY, _SENT)
+        member = (ky == mX) | (kx == mY)
+        is_end = (rows == ey) & (cols == ex) & val
+        delta = jnp.where(member,
+                          jnp.where(is_end, ed, -cfg.lo_free_dec), 0)
+        P = P + delta
+        mx = jnp.maximum(mx, P)
+        mn = jnp.minimum(mn, P)
+
+    v0 = win_ref[...].astype(jnp.int32)
+    mid = v0 + P
+    up = jnp.int32(cfg.lo_max) + P - mx
+    lo = jnp.int32(cfg.lo_min) + P - mn
+    win_ref[...] = jnp.maximum(jnp.minimum(mid, up), lo).astype(jnp.int8)
+
+
 def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
                    *, geom: GridGeom, cfg: MapConfig):
     """ray_ref: SMEM i32 [1, 8, 128]; flat layout: words 0..127 are
@@ -73,49 +118,9 @@ def _window_kernel(ray_ref, grid_ref, out_ref, win_ref, sem_in, sem_out,
     load = pltpu.make_async_copy(
         grid_ref.at[ib, pl.ds(r0a, AWR), pl.ds(c0a, AWC)], win_ref, sem_in)
     load.start()
-
-    rows = lax.broadcasted_iota(jnp.int32, (AWR, 1), 0) - cy   # v (y)
-    cols = lax.broadcasted_iota(jnp.int32, (1, AWC), 1) - cx   # u (x)
-
     load.wait()
 
-    P = jnp.zeros((AWR, AWC), jnp.int32)
-    mx = jnp.zeros((AWR, AWC), jnp.int32)
-    mn = jnp.zeros((AWR, AWC), jnp.int32)
-
-    for r in range(32):
-        ex = rw(4 * r + 0)
-        ey = rw(4 * r + 1)
-        ed = rw(4 * r + 2)
-        val = rw(4 * r + 3) != 0
-        dx = jnp.abs(ex)
-        dy = jnp.abs(ey)
-        sx = jnp.where(ex > 0, 1, -1)
-        sy = jnp.where(ey > 0, 1, -1)
-        kx = cols * sx                       # [1, WC]
-        ky = rows * sy                       # [WR, 1]
-        xmaj = dx >= dy
-        mX = (2 * kx * dy + dx) // jnp.maximum(2 * dx, 1)
-        mY = (2 * ky * dx + dy) // jnp.maximum(2 * dy, 1)
-        okX = (kx >= 0) & (kx <= dx) & xmaj & val
-        okY = (ky >= 0) & (ky <= dy) & (~xmaj) & val
-        mX = jnp.where(okX, mX, _SENT)
-        mY = jnp.where(okY, mY, _SENT)
-        member = (ky == mX) | (kx == mY)     # [WR, WC]
-        # endpoint delta via a one-hot broadcast (Mosaic TPU lowering has
-        # no dynamic single-element indexing of values)
-        is_end = (rows == ey) & (cols == ex) & val
-        delta = jnp.where(member,
-                          jnp.where(is_end, ed, -cfg.lo_free_dec), 0)
-        P = P + delta
-        mx = jnp.maximum(mx, P)
-        mn = jnp.minimum(mn, P)
-
-    v0 = win_ref[...].astype(jnp.int32)
-    mid = v0 + P
-    up = jnp.int32(cfg.lo_max) + P - mx
-    lo = jnp.int32(cfg.lo_min) + P - mn
-    win_ref[...] = jnp.maximum(jnp.minimum(mid, up), lo).astype(jnp.int8)
+    _compute_window(rw, win_ref, cy, cx, geom, cfg)
 
     store = pltpu.make_async_copy(
         win_ref, out_ref.at[ib, pl.ds(r0a, AWR), pl.ds(c0a, AWC)], sem_out)
@@ -190,3 +195,111 @@ def pallas_apply_scans(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ray_words, padded_grids)
+
+
+def _window_kernel_db(org_ref, ray_ref, grid_ref, out_ref, win2,
+                      sem_in, sem_out, *, geom: GridGeom, cfg: MapConfig,
+                      nb: int):
+    """Pipelined variant: two-slot VMEM window scratch; each program
+    prefetches the NEXT quad's window while computing its own (grid
+    programs run sequentially on the core, and scratch persists across
+    them).  org_ref: scalar-prefetch i32 [B, 2] tile-aligned window
+    origins; sem_in/sem_out: DMA semaphore pairs per slot."""
+    b = pl.program_id(0)
+    AWR = geom.win_rows + _AWR_PAD
+    AWC = _AWC
+    slot = lax.rem(b, 2)
+    nslot = lax.rem(b + 1, 2)
+
+    def rw(w):
+        return ray_ref[0, w // 128, w % 128]
+
+    def start_load(qi, sl):
+        r0a = pl.multiple_of(org_ref[qi, 0], 8)
+        c0a = pl.multiple_of(org_ref[qi, 1], 128)
+        pltpu.make_async_copy(
+            grid_ref.at[qi, pl.ds(r0a, AWR), pl.ds(c0a, AWC)],
+            win2.at[sl], sem_in.at[sl]).start()
+
+    @pl.when(b == 0)
+    def _():
+        start_load(0, slot)
+
+    @pl.when(b + 1 < nb)
+    def _():
+        # the next slot's previous STORE (program b-1) must land before
+        # we overwrite that buffer with a new load
+        @pl.when(b >= 1)
+        def _():
+            pltpu.make_async_copy(win2.at[nslot],
+                                  out_ref.at[b - 1, pl.ds(0, AWR),
+                                             pl.ds(0, AWC)],
+                                  sem_out.at[nslot]).wait()
+        start_load(b + 1, nslot)
+
+    pltpu.make_async_copy(
+        grid_ref.at[b, pl.ds(0, AWR), pl.ds(0, AWC)], win2.at[slot],
+        sem_in.at[slot]).wait()
+
+    _compute_window(rw, win2.at[slot], rw(130), rw(131), geom, cfg)
+
+    r0a = pl.multiple_of(org_ref[b, 0], 8)
+    c0a = pl.multiple_of(org_ref[b, 1], 128)
+    store = pltpu.make_async_copy(
+        win2.at[slot], out_ref.at[b, pl.ds(r0a, AWR), pl.ds(c0a, AWC)],
+        sem_out.at[slot])
+    store.start()
+
+    @pl.when(b == nb - 1)
+    def _():
+        store.wait()
+    @pl.when((b == nb - 1) & (nb >= 2))
+    def _():
+        # drain the other slot's in-flight store too
+        pltpu.make_async_copy(win2.at[nslot],
+                              out_ref.at[b, pl.ds(0, AWR), pl.ds(0, AWC)],
+                              sem_out.at[nslot]).wait()
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def pallas_apply_scans_db(
+    padded_grids: jnp.ndarray,
+    beams: jnp.ndarray,
+    x, y, yaw_deg,
+    origin_x, origin_y,
+    enabled,
+    cfg: MapConfig = MapConfig(),
+    tof: TofConfig = TofConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Double-buffered batched fused scan update (bit-identical)."""
+    B = padded_grids.shape[0]
+    ray_words = _pack_rays(beams, x, y, yaw_deg, origin_x, origin_y,
+                           enabled, cfg, tof, geom)
+    origins = ray_words[:, 1, :2]  # (r0a, c0a) per quad
+
+    kernel = functools.partial(_window_kernel_db, geom=geom, cfg=cfg, nb=B)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda b, org: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, geom.win_rows + _AWR_PAD, _AWC), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(padded_grids.shape, jnp.int8),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(origins, ray_words, padded_grids)

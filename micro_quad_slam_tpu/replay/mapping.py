@@ -161,6 +161,11 @@ def mapping_step(
         from micro_quad_slam_tpu.ops.pallas_raycast import pallas_apply_scans
         grid = pallas_apply_scans(grid, beams, x, y, yaw, origin_x,
                                   origin_y, enabled, cfg.map, cfg.tof, geom)
+    elif kernel == "pallas_db":
+        from micro_quad_slam_tpu.ops.pallas_raycast import pallas_apply_scans_db
+        grid = pallas_apply_scans_db(grid, beams, x, y, yaw, origin_x,
+                                     origin_y, enabled, cfg.map, cfg.tof,
+                                     geom)
     elif kernel == "mxu":
         from micro_quad_slam_tpu.ops.raycast import apply_scan_to_grid_mxu
         grid = apply_scan_to_grid_mxu(grid, beams, x, y, yaw, origin_x,
