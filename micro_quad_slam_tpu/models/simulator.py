@@ -191,6 +191,10 @@ def fc_init(batch: int, batt_v0: float = 8.2) -> FcSim:
     )
 
 
+CAM_SIZE = 32       # downward camera resolution (vision-flow mode)
+CAM_FOCAL = 60.0    # focal length in pixels
+
+
 class SimState(NamedTuple):
     t_ms: jnp.ndarray           # scalar int32
     key: jnp.ndarray
@@ -206,6 +210,11 @@ class SimState(NamedTuple):
     ekf: EkfState
     tof_min: jnp.ndarray        # [B, 4] latest per-dir minima
     scan_count: jnp.ndarray     # scalar int32
+    cam_prev: jnp.ndarray       # [B, CAM, CAM] previous camera frame
+    cam_valid: jnp.ndarray      # scalar bool: cam_prev holds a real frame
+    vis_rate_x: jnp.ndarray     # [B] latched vision flow rates (rad/s)
+    vis_rate_y: jnp.ndarray
+    vis_q: jnp.ndarray          # [B] vision flow quality 0..255
 
 
 def sim_init(batch: int, key=None, geom: GridGeom = DEFAULT_GEOM,
@@ -228,6 +237,11 @@ def sim_init(batch: int, key=None, geom: GridGeom = DEFAULT_GEOM,
         ekf=ekf_init((batch,)),
         tof_min=jnp.full((batch, 4), jnp.nan, jnp.float32),
         scan_count=jnp.int32(0),
+        cam_prev=jnp.zeros((batch, CAM_SIZE, CAM_SIZE), jnp.float32),
+        cam_valid=jnp.array(False),
+        vis_rate_x=jnp.full((batch,), jnp.nan, jnp.float32),
+        vis_rate_y=jnp.full((batch,), jnp.nan, jnp.float32),
+        vis_q=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -238,7 +252,8 @@ def _wrap(d):
 def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
              geom: GridGeom = DEFAULT_GEOM, dt_ms: int = 20,
              scan_period_ms: int = 100, noise_mm: float = 5.0,
-             dropout_p: float = 0.02, want_arm=True, record: bool = False):
+             dropout_p: float = 0.02, want_arm=True, record: bool = False,
+             vision_flow: bool = False, flow_period_ms: int = 100):
     """One closed-loop control tick for the whole swarm.  With record=True
     the per-step diagnostics include the raw scan cells (zeros between
     scan ticks) so a run can be converted to reference-format scanlogs."""
@@ -275,15 +290,50 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
         (mapper, state.tof_min, state.ekf, cells0)
     )
 
-    # ---- EKF: flow measurement from true velocity (sensor model) ----
+    # ---- flow: oracle sensor model, or REAL pyramidal LK on rendered
+    # downward-camera frames (BASELINE config 3 end-to-end) ----
     yaw_rad = jnp.deg2rad(state.yaw)
-    vbx = jnp.cos(yaw_rad) * state.vx + jnp.sin(yaw_rad) * state.vy
-    vby = -jnp.sin(yaw_rad) * state.vx + jnp.cos(yaw_rad) * state.vy
     ground = jnp.maximum(state.alt, 0.0)
-    of_rate_x = W(ground > 0.05, vbx / jnp.maximum(ground, 0.05), jnp.nan)
-    of_rate_y = W(ground > 0.05, vby / jnp.maximum(ground, 0.05), jnp.nan)
     airborne = state.alt > 0.05
-    of_q = W(airborne, 85, 0).astype(jnp.int32)
+    cam_prev, cam_valid = state.cam_prev, state.cam_valid
+    vis_rx, vis_ry, vis_q = state.vis_rate_x, state.vis_rate_y, state.vis_q
+    if vision_flow:
+        from micro_quad_slam_tpu.ops.flow import (
+            flow_to_rates, lk_flow_batched, render_camera_frame)
+
+        assert flow_period_ms % dt_ms == 0, (
+            "flow_period_ms must be a multiple of dt_ms (the rate "
+            "conversion divides by the true inter-frame time)")
+        flow_due = (t % flow_period_ms) == 0
+
+        def do_flow(op):
+            prev, valid, rx0, ry0, q0 = op
+            cur = jax.vmap(
+                lambda xi, yi, ai, wi: render_camera_frame(
+                    xi, yi, jnp.maximum(ai, 0.05), wi, CAM_SIZE, CAM_FOCAL)
+            )(state.x, state.y, state.alt, yaw_rad)
+            res = lk_flow_batched(prev, cur)
+            # camera x = body x at yaw 0 by construction of the renderer
+            rx, ry = flow_to_rates(res.dx_px, res.dy_px,
+                                   _F32(flow_period_ms * 1e-3), CAM_FOCAL)
+            q = jnp.clip(res.quality, 0, 255).astype(jnp.int32)
+            rx = W(valid, rx, jnp.nan)
+            ry = W(valid, ry, jnp.nan)
+            q = W(valid, q, 0)
+            return cur, jnp.array(True), rx, ry, q
+
+        cam_prev, cam_valid, vis_rx, vis_ry, vis_q = lax.cond(
+            flow_due, do_flow, lambda op: op,
+            (cam_prev, cam_valid, vis_rx, vis_ry, vis_q))
+        of_rate_x = W(airborne, vis_rx, jnp.nan)
+        of_rate_y = W(airborne, vis_ry, jnp.nan)
+        of_q = W(airborne, vis_q, 0).astype(jnp.int32)
+    else:
+        vbx = jnp.cos(yaw_rad) * state.vx + jnp.sin(yaw_rad) * state.vy
+        vby = -jnp.sin(yaw_rad) * state.vx + jnp.cos(yaw_rad) * state.vy
+        of_rate_x = W(ground > 0.05, vbx / jnp.maximum(ground, 0.05), jnp.nan)
+        of_rate_y = W(ground > 0.05, vby / jnp.maximum(ground, 0.05), jnp.nan)
+        of_q = W(airborne, 85, 0).astype(jnp.int32)
     ekf, _diag = ekf_step(state.ekf, jnp.full((B,), dt), of_rate_x, of_rate_y,
                           of_q, ground, yaw_rad, cfg.ekf)
     # seed the EKF position while on the ground (perfect initial fix)
@@ -433,6 +483,8 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
         t_ms=jnp.int32(t), key=key, x=x, y=y, yaw=yaw, vx=vx, vy=vy,
         alt=alt, fc=fc, beh=beh, mapper=mapper, ekf=ekf, tof_min=tof_min,
         scan_count=state.scan_count + W(scan_due, 1, 0).astype(jnp.int32),
+        cam_prev=cam_prev, cam_valid=cam_valid, vis_rate_x=vis_rx,
+        vis_rate_y=vis_ry, vis_q=vis_q,
     )
     diag = {
         "state": out["state"],
@@ -465,17 +517,19 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
     return new_state, diag
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def sim_run(state: SimState, world: World, n_steps: int,
             cfg: PipelineConfig = UL_PROFILE, geom: GridGeom = DEFAULT_GEOM,
             dt_ms: int = 20, scan_period_ms: int = 100,
-            record: bool = False):
+            record: bool = False, vision_flow: bool = False):
     """Run n_steps closed-loop ticks under one jit; returns final state +
-    stacked diagnostics (with raw scans when record=True)."""
+    stacked diagnostics (with raw scans when record=True).  vision_flow
+    replaces the oracle flow sensor with real pyramidal LK on rendered
+    downward-camera frames."""
 
     def step(st, _):
         st, diag = sim_step(st, world, cfg, geom, dt_ms, scan_period_ms,
-                            record=record)
+                            record=record, vision_flow=vision_flow)
         return st, diag
 
     return lax.scan(step, state, None, length=n_steps)

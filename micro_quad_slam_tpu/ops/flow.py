@@ -153,3 +153,33 @@ def render_ground_patch(texture: jnp.ndarray, cx, cy, size: int,
 
     return ((1 - ay) * (1 - ax) * take(0, 0) + (1 - ay) * ax * take(0, 1)
             + ay * (1 - ax) * take(1, 0) + ay * ax * take(1, 1))
+
+
+def analytic_ground(px, py):
+    """Procedural ground texture: a fixed sum of sinusoids evaluated at
+    world-plane coordinates (meters).  Pure elementwise math — no texture
+    gathers — so the simulator can render downward-camera frames for the
+    whole swarm cheaply.  Rich enough in gradients for LK at sub-pixel
+    accuracy."""
+    v = (jnp.sin(px * 9.1) * jnp.cos(py * 7.3)
+         + 0.7 * jnp.sin(px * 23.7 + py * 31.1)
+         + 0.5 * jnp.cos(px * 41.3 - py * 17.9)
+         + 0.3 * jnp.sin(px * 73.0 + 2.0) * jnp.sin(py * 61.0))
+    return _F32(100.0) + _F32(30.0) * v
+
+
+def render_camera_frame(x_m, y_m, alt_m, yaw_rad, size: int,
+                        focal_px: float):
+    """Downward camera view of the analytic ground from pose
+    (x, y, alt, yaw): pixel (r, c) sees the ground at
+    pos + R(yaw) @ (u, v) * alt / focal."""
+    half = (size - 1) / 2.0
+    u = (jnp.arange(size, dtype=jnp.float32) - _F32(half))  # cam x (cols)
+    v = (jnp.arange(size, dtype=jnp.float32) - _F32(half))  # cam y (rows)
+    scale = alt_m / _F32(focal_px)
+    cu = u[None, :] * scale
+    cv = v[:, None] * scale
+    c, s = jnp.cos(yaw_rad), jnp.sin(yaw_rad)
+    px = x_m + c * cu - s * cv
+    py = y_m + s * cu + c * cv
+    return analytic_ground(px, py)
