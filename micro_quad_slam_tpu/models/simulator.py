@@ -257,6 +257,11 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
     """One closed-loop control tick for the whole swarm.  With record=True
     the per-step diagnostics include the raw scan cells (zeros between
     scan ticks) so a run can be converted to reference-format scanlogs."""
+    if state.x.shape[0] != world.room.shape[0]:
+        raise ValueError(
+            f"batch mismatch: SimState has {state.x.shape[0]} quads but "
+            f"World has {world.room.shape[0]} (sim_init(batch) and "
+            f"make_world(batch) must use the same batch)")
     W = jnp.where
     B = state.x.shape[0]
     t = state.t_ms + dt_ms

@@ -2,6 +2,7 @@
 self-localized poses, swarm lanes are independent.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -134,3 +135,11 @@ def test_vision_flow_mission():
     assert (pe < 0.20).all(), pe
     # the vision sensor produced real quality values
     assert int(np.asarray(st.vis_q).min()) > 100
+
+
+def test_batch_mismatch_raises():
+    from micro_quad_slam_tpu.models.simulator import sim_init, make_world, sim_step
+    st = sim_init(4)
+    world = make_world(8)
+    with pytest.raises(ValueError, match="batch mismatch"):
+        sim_step(st, world)
