@@ -106,7 +106,7 @@ def main() -> None:
     mesh = make_mesh()
     frames = shard_batch(frames, mesh)
 
-    kernel = os.environ.get("MQS_BENCH_KERNEL", "mxu2")
+    kernel = os.environ.get("MQS_BENCH_KERNEL", "resident")
     if kernel != "xla":
         from micro_quad_slam_tpu.parallel.mesh import batch_metrics
         from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched

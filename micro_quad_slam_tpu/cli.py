@@ -238,7 +238,8 @@ def main(argv=None) -> int:
     pr.add_argument("--out")
     pr.add_argument("--profile", default="ul", choices=("ul", "cl"))
     pr.add_argument("--kernel", default="xla",
-                    choices=("xla", "pallas", "pallas_db", "mxu", "mxu2", "cone"),
+                    choices=("xla", "pallas", "pallas_db", "mxu", "mxu2",
+                             "cone", "resident"),
                     help="map-update kernel: xla/pallas are bit-exact "
                          "reference semantics; cone is the dense "
                          "inverse-model production mode")

@@ -1,0 +1,353 @@
+"""Resident-grid Pallas TPU kernel: the WHOLE mapping replay in one launch.
+
+The per-step kernels (pallas_raycast.py) pay, per frame, an HBM window
+round-trip plus a 32-ray pass in int32 over a (104, 256) tile-aligned
+window — ~30 us/frame, on par with the XLA paths whose cost is the
+batched dynamic window slice (PERFORMANCE.md).  This kernel restructures
+the whole replay around two observations:
+
+  1. Everything except the grid is grid-independent.  Origins, the
+     recenter schedule, ray endpoints, and the enable gates depend only
+     on the logged frames, so a cheap scalar `lax.scan` (no grid in the
+     carry) precomputes the full per-(quad, frame) schedule up front.
+  2. A quad's padded grid (608x640 int8 = 389 KB) fits in VMEM.  With a
+     (B, T) pallas grid (T minor => programs run t-inner on the core and
+     scratch persists across programs), each quad's grid is DMA'd from
+     HBM ONCE, all T scans apply in VMEM, and it is stored back once.
+
+Per frame the kernel then does:
+  - slab: VMEM->VMEM copy of the (8,128)-aligned (104, 256) superset
+    window (int8 tile alignment, as in pallas_raycast.py);
+  - compact: dynamic two-axis `pltpu.roll` so the true window sits at
+    (0, 0) — the 32-ray pass runs on a [96, 128] window with a STATIC
+    center (win_r, win_r), exactly window_scan_update's shape;
+  - the ray pass itself in int8/int16 with NO integer division:
+    minor == floor(A / D) is tested as D*minor <= A < D*minor + D
+    (exact for D > 0, including the D = max(2*dmaj, 1) = 1 degenerate
+    zero-length-ray case), with out-of-extent / invalid rays folded in
+    by forcing A to a sentinel below any reachable D*minor.  int8 P /
+    running-extrema carries (per-scan range is -32..+48) and int16
+    products (|A| <= 2*88*84 + 88 < 2^15) keep every [96, 128] op at
+    3-6 vregs instead of int32's 26;
+  - sequential int8 clamping recovered in one int16 pass from the
+    prefix extrema (Skorokhod form, see ops/raycast.py);
+  - roll back, blend into the slab, copy the slab back into the
+    resident grid;
+  - the rare map recenter (uav_local_nav.c:308-343) runs fully in VMEM
+    behind `pl.when`: two whole-grid rolls plus the logical-region /
+    shifted-source masks of recenter_apply.
+
+Bit-exactness versus the XLA path (and hence the golden C model) is
+asserted in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from micro_quad_slam_tpu.ops.beams import extract_beams, tof_filter_update
+from micro_quad_slam_tpu.ops.pallas_raycast import _AWC, _AWR_PAD, _pack_rays
+from micro_quad_slam_tpu.ops.raycast import (
+    DEFAULT_GEOM,
+    GridGeom,
+    recenter_decide,
+)
+from micro_quad_slam_tpu.utils.config import MapConfig, PipelineConfig, UL_PROFILE
+
+_F32 = np.float32
+
+# extra schedule words in ray-word row 1 (words 0-3 are r0a/c0a/cy/cx)
+_W_DO, _W_SY, _W_SX = 4, 5, 6
+
+_A_SENT = -20000  # below any reachable D*minor (>= -2*88*44 = -7744)
+
+
+def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom):
+    """Grid-free scalar replay: reproduces mapping_step's origin / init /
+    recenter / enable sequence (replay/mapping.py) and packs the full
+    per-(t, b) ray + recenter schedule for the kernel.
+
+    Returns (ray_words i32 [T, B, 8, 128], outs dict of [T, B] arrays,
+    final (origin_x, origin_y, inited, filt))."""
+    from micro_quad_slam_tpu.replay.mapping import (
+        ST_HOVER,
+        ST_LANDING,
+        KF_MAP_RECENTER,
+        pose_good_for_mapping,
+    )
+
+    B, T = frames["x_m"].shape
+    beams, minima = extract_beams(frames["grid_mm"], cfg.tof)
+    seq = {
+        "beams": jnp.moveaxis(beams, 0, 1),
+        "minima": jnp.moveaxis(minima, 0, 1),
+    }
+    for k in ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health",
+              "state"):
+        seq[k] = jnp.moveaxis(frames[k], 0, 1)
+
+    st_hi = ST_LANDING if cfg.behavior.explore_enabled else 6
+    res = _F32(cfg.map.res_m)
+
+    def step(carry, fr):
+        origin_x, origin_y, inited, filt = carry
+        filt = tof_filter_update(filt, fr["minima"], cfg.tof.filt_alpha)
+        x, y, yaw = fr["x_m"], fr["y_m"], fr["yaw_deg"]
+        pose_finite = jnp.isfinite(x) & jnp.isfinite(y)
+        st = fr["state"].astype(jnp.int32)
+        airborne = (st >= ST_HOVER) & (st <= st_hi)
+        do_init = (~inited) & pose_finite & airborne
+        origin_x = jnp.where(do_init, x, origin_x)
+        origin_y = jnp.where(do_init, y, origin_y)
+        inited = inited | do_init
+
+        sx, sy, do_rc = recenter_decide(
+            origin_x, origin_y, x, y, pose_finite & inited, cfg.map)
+        origin_x = origin_x + sx.astype(jnp.float32) * res
+        origin_y = origin_y + sy.astype(jnp.float32) * res
+
+        enabled = inited & pose_good_for_mapping(
+            x, yaw, fr["of_q"].astype(jnp.int32), fr["of_rate_x"],
+            fr["sys_health"], cfg.gates.of_min_quality)
+
+        words = _pack_rays(fr["beams"], x, y, yaw, origin_x, origin_y,
+                           enabled, cfg.map, cfg.tof, geom)
+        words = words.at[:, 1, _W_DO].set(do_rc.astype(jnp.int32))
+        words = words.at[:, 1, _W_SY].set(sy)
+        words = words.at[:, 1, _W_SX].set(sx)
+
+        out = {
+            "used": enabled,
+            "kf_flags": jnp.where(do_rc, jnp.uint8(KF_MAP_RECENTER),
+                                  jnp.uint8(0)),
+            "filt": filt,
+        }
+        return (origin_x, origin_y, inited, filt), (words, out)
+
+    # carry init derived from the data (not constants) so its sharding
+    # varying-axis type matches the body outputs under shard_map
+    x0 = frames["x_m"][:, 0]
+    nanb = jnp.full_like(x0, jnp.nan)
+    init = (nanb, nanb, jnp.zeros_like(x0, bool),
+            nanb[:, None] + jnp.zeros((4,), jnp.float32))
+    final, (ray_words, outs) = lax.scan(step, init, seq)
+    return ray_words, outs, final
+
+
+def _nn(s, n):
+    """non-negative left-rotate amount for a shift by s over modulus n"""
+    return lax.rem(lax.rem(-s, n) + n, n)
+
+
+def _ray_pass(window: jnp.ndarray, rw, geom: GridGeom, cfg: MapConfig):
+    """The 32-ray update on a compact [win_rows, win_cols] int8 window
+    with the pose at the static center (win_r, win_r).  Bit-identical to
+    ops/raycast.py window_scan_update, restructured division-free and in
+    int8/int16 for VPU lane packing."""
+    R = geom.win_r
+    rows = lax.broadcasted_iota(jnp.int32, (geom.win_rows, 1), 0) - R
+    cols = lax.broadcasted_iota(jnp.int32, (1, geom.win_cols), 1) - R
+
+    free = jnp.int32(cfg.lo_free_dec)
+    z = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
+    P, mx, mn = z, z, z
+
+    for r in range(32):
+        ex = rw(4 * r + 0)
+        ey = rw(4 * r + 1)
+        ed = rw(4 * r + 2)
+        val = rw(4 * r + 3) != 0
+        dx = jnp.abs(ex)
+        dy = jnp.abs(ey)
+        sx = jnp.where(ex > 0, 1, -1)
+        sy = jnp.where(ey > 0, 1, -1)
+        xmaj = dx >= dy
+        D = jnp.maximum(2 * dx, 1)       # X-major divisor
+        E = jnp.maximum(2 * dy, 1)       # Y-major divisor
+
+        # i32 throughout: Mosaic on v5e supports neither i8 arithmetic
+        # nor ordered i16 vector compares, and mask relayouts between
+        # mixed-width layouts are unimplemented.  The win over the
+        # per-step kernel is the 2.2x smaller static-centered window and
+        # the division-free membership test.
+        nA = (2 * dy * sx) * cols       # 2*dy*kx    [1, C]
+        nE = (E * sx) * cols            # E*kx       [1, C]
+        mD = (D * sy) * rows            # D*ky       [R, 1]
+        mA = (2 * dx * sy) * rows       # 2*dx*ky    [R, 1]
+
+        # X-major: ky == floor((2*kx*dy + dx) / D)
+        #   <=> D*ky <= 2*kx*dy + dx < D*ky + D, kx in [0, dx].
+        # kx = sx*col in [0, dx] <=> col in [min(ex,0), max(ex,0)]; the
+        # xmaj/valid gates fold in as an empty range (all gating is
+        # scalar: Mosaic can't relayout selects between 1-D masks).
+        okx = xmaj & val
+        lo = jnp.where(okx, jnp.minimum(ex, 0), 1)
+        hi = jnp.where(okx, jnp.maximum(ex, 0), 0)
+        ax = jnp.where((cols >= lo) & (cols <= hi), nA + dx,
+                       jnp.int32(_A_SENT))
+        memx = (mD <= ax) & (ax < mD + D)
+
+        # Y-major: kx == floor((2*ky*dx + dy) / E)
+        #   <=> E*kx <= 2*ky*dx + dy < E*kx + E, ky in [0, dy]
+        oky = (~xmaj) & val
+        lo = jnp.where(oky, jnp.minimum(ey, 0), 1)
+        hi = jnp.where(oky, jnp.maximum(ey, 0), 0)
+        ay = jnp.where((rows >= lo) & (rows <= hi), mA + dy,
+                       jnp.int32(_A_SENT))
+        memy = (nE <= ay) & (ay < nE + E)
+
+        member = memx | memy
+        # endpoint as ONE 2-D compare (broadcasting two 1-D masks would
+        # need an unsupported mask relayout); val gates via the sentinel
+        eyv = jnp.where(val, ey, 9999)
+        is_end = (jnp.abs(rows - eyv) + jnp.abs(cols - ex)) == 0
+        delta = jnp.where(member, jnp.where(is_end, ed, -free), 0)
+        P = P + delta
+        mx = jnp.maximum(mx, P)
+        mn = jnp.minimum(mn, P)
+
+    v0 = window.astype(jnp.int32)
+    mid = v0 + P
+    up = jnp.int32(cfg.lo_max) + P - mx
+    lo = jnp.int32(cfg.lo_min) + P - mn
+    return jnp.maximum(jnp.minimum(mid, up), lo).astype(jnp.int8)
+
+
+def _resident_kernel(ray_ref, grid_ref, out_ref, vgrid, slab,
+                     sem_g, sem_w, sem_o, *, geom: GridGeom, cfg: MapConfig,
+                     nt: int):
+    """ray_ref: SMEM i32 [1, 1, 8, 128] (one (t, b) schedule block);
+    grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); vgrid: VMEM i8
+    resident grid; slab: VMEM i8 (win_rows + 8, 256) aligned window."""
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+    AWR = geom.win_rows + _AWR_PAD
+    AWC = _AWC
+    PR, PC = geom.prows, geom.pcols
+
+    def rw(w):
+        return ray_ref[0, 0, w // 128, w % 128]
+
+    @pl.when(t == 0)
+    def _():
+        cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
+        cp.start()
+        cp.wait()
+
+    # --- recenter (rare; real branch) --------------------------------
+    @pl.when(rw(128 + _W_DO) != 0)
+    def _():
+        sy = rw(128 + _W_SY)
+        sx = rw(128 + _W_SX)
+        g = vgrid[...].astype(jnp.int32)    # pltpu.roll is 32-bit only
+        g = pltpu.roll(g, _nn(sy, PR), 0)   # new[y, x] = old[y+sy, x+sx]
+        g = pltpu.roll(g, _nn(sx, PC), 1).astype(jnp.int8)
+        r_ids = lax.broadcasted_iota(jnp.int32, (PR, 1), 0)
+        c_ids = lax.broadcasted_iota(jnp.int32, (1, PC), 1)
+        in_log = ((r_ids >= geom.pad) & (r_ids < geom.pad + geom.height)
+                  & (c_ids >= geom.pad) & (c_ids < geom.pad + geom.width))
+        src_in = ((r_ids + sy >= geom.pad)
+                  & (r_ids + sy < geom.pad + geom.height)
+                  & (c_ids + sx >= geom.pad)
+                  & (c_ids + sx < geom.pad + geom.width))
+        vgrid[...] = jnp.where(in_log & src_in, g, jnp.int8(0))
+
+    # --- windowed scan update ---------------------------------------
+    r0a = pl.multiple_of(rw(128), 8)
+    c0a = pl.multiple_of(rw(129), 128)
+    ry = rw(130) - geom.win_r    # true window corner inside the slab
+    rc = rw(131) - geom.win_r
+
+    cp = pltpu.make_async_copy(
+        vgrid.at[pl.ds(r0a, AWR), pl.ds(c0a, AWC)], slab, sem_w)
+    cp.start()
+    cp.wait()
+
+    w0 = slab[...]
+    w32 = w0.astype(jnp.int32)              # pltpu.roll is 32-bit only
+    comp = pltpu.roll(pltpu.roll(w32, _nn(ry, AWR), 0),
+                      _nn(rc, AWC), 1).astype(jnp.int8)
+    comp = comp[:geom.win_rows, :geom.win_cols]
+
+    upd = _ray_pass(comp, rw, geom, cfg)
+
+    full = jnp.pad(
+        upd, ((0, AWR - geom.win_rows), (0, AWC - geom.win_cols)),
+    ).astype(jnp.int32)
+    back = pltpu.roll(pltpu.roll(full, lax.rem(ry, AWR), 0),
+                      lax.rem(rc, AWC), 1).astype(jnp.int8)
+    ri = lax.broadcasted_iota(jnp.int32, (AWR, 1), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (1, AWC), 1)
+    inw = ((ri >= ry) & (ri < ry + geom.win_rows)
+           & (ci >= rc) & (ci < rc + geom.win_cols))
+    slab[...] = jnp.where(inw, back, w0)
+
+    cp = pltpu.make_async_copy(
+        slab, vgrid.at[pl.ds(r0a, AWR), pl.ds(c0a, AWC)], sem_w)
+    cp.start()
+    cp.wait()
+
+    @pl.when(t == nt - 1)
+    def _():
+        cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
+        cp.start()
+        cp.wait()
+
+
+def pallas_replay_resident(frames: dict, cfg: PipelineConfig = UL_PROFILE,
+                           geom: GridGeom = DEFAULT_GEOM,
+                           interpret: bool | None = None):
+    """Whole-replay resident-grid kernel.  frames: dict of [B, T, ...]
+    arrays (as replay_mapping_batched).  Returns (MappingState [B],
+    outs [B, T]) bit-identical to the XLA replay."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # jit the whole pipeline: eager execution would dispatch the schedule
+    # scan op-by-op (ruinous through a remote-TPU tunnel)
+    return _replay_resident_jit(frames, cfg, geom, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _replay_resident_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
+                         interpret: bool):
+    from micro_quad_slam_tpu.replay.mapping import MappingState
+
+    B, T = frames["x_m"].shape
+    ray_words, outs, (ox, oy, inited, filt) = _schedule(frames, cfg, geom)
+
+    grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+    kernel = functools.partial(_resident_kernel, geom=geom, cfg=cfg.map,
+                               nt=T)
+    grid_out = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, 128), lambda b, t: (t, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(grids.shape, jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
+            pltpu.VMEM((geom.win_rows + _AWR_PAD, _AWC), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ray_words, grids)
+
+    state = MappingState(grid=grid_out, origin_x=ox, origin_y=oy,
+                         inited=inited, filt=filt)
+    outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}
+    return state, outs

@@ -54,9 +54,10 @@ def batch_metrics(outs: dict) -> dict:
     }
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _replay_batched_with_metrics(frames, cfg: PipelineConfig, geom: GridGeom):
-    state, outs = _replay_batched(frames, cfg, geom)
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _replay_batched_with_metrics(frames, cfg: PipelineConfig, geom: GridGeom,
+                                 kernel: str = "xla"):
+    state, outs = _replay_batched(frames, cfg, geom, kernel)
     return state, outs, batch_metrics(outs)
 
 
@@ -65,6 +66,7 @@ def replay_mapping_sharded(
     cfg: PipelineConfig = UL_PROFILE,
     mesh: Optional[Mesh] = None,
     geom: GridGeom = DEFAULT_GEOM,
+    kernel: str = "xla",
 ):
     """Batched replay with the batch sharded across the device mesh.
 
@@ -72,7 +74,25 @@ def replay_mapping_sharded(
     multiple of the mesh size.  Returns (MappingState [B,...], outs,
     metrics) with per-flight grids left device-sharded and metrics
     all-reduced to replicated scalars.
+
+    The XLA kernels partition under plain GSPMD; the pallas "resident"
+    kernel is explicitly `shard_map`ped so each device runs the kernel
+    over its local batch shard.
     """
     mesh = mesh or make_mesh()
     frames = shard_batch(frames, mesh)
-    return _replay_batched_with_metrics(frames, cfg, geom)
+    if kernel != "resident":
+        return _replay_batched_with_metrics(frames, cfg, geom, kernel)
+
+    spec = P(LOGS_AXIS)
+    inner = jax.shard_map(
+        partial(_replay_batched, cfg=cfg, geom=geom, kernel="resident"),
+        mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False)  # pallas out_shape carries no vma type
+
+    @jax.jit
+    def run(fr):
+        state, outs = inner(fr)
+        return state, outs, batch_metrics(outs)
+
+    return run(frames)

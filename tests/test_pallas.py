@@ -63,3 +63,56 @@ def test_pallas_near_saturation_ordering():
             g, b, F32(0), F32(0), F32(0), F32(0), F32(0), True, CFG)
     )(jnp.asarray(padded), jnp.asarray(beams))
     np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
+def test_resident_replay_bit_matches_xla_with_recenter():
+    """Whole-replay resident kernel (interpret): bit-equal grids, origins,
+    and outs vs the XLA replay, including mid-flight recentering."""
+    from micro_quad_slam_tpu.ops.pallas_resident import pallas_replay_resident
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    logs = [
+        synth_room_scanlog(n_frames=24, seed=3, noise_mm=5.0, dropout_p=0.05),
+        synth_room_scanlog(n_frames=24, seed=7, noise_mm=4.0),
+        synth_room_scanlog(n_frames=24, seed=11, state=1),  # never inits
+    ]
+    frames = [scanlog_to_arrays(lg) for lg in logs]
+    batched = {k: np.stack([f[k] for f in frames]) for k in frames[0]}
+    # force strong drift on quad 1 -> recenters mid-flight
+    T = batched["x_m"].shape[1]
+    batched["x_m"][1] = np.linspace(0.0, 34.0, T, dtype=np.float32)
+    batched["y_m"][1] = np.linspace(0.0, -21.0, T, dtype=np.float32)
+
+    st_x, outs_x = replay_mapping_batched(batched, UL_PROFILE)
+    st_r, outs_r = pallas_replay_resident(batched, UL_PROFILE, interpret=True)
+
+    assert (np.asarray(outs_x["kf_flags"]) != 0).sum() >= 1  # recentered
+    np.testing.assert_array_equal(np.asarray(st_r.grid), np.asarray(st_x.grid))
+    np.testing.assert_array_equal(np.asarray(st_r.origin_x),
+                                  np.asarray(st_x.origin_x))
+    np.testing.assert_array_equal(np.asarray(st_r.origin_y),
+                                  np.asarray(st_x.origin_y))
+    np.testing.assert_array_equal(np.asarray(st_r.inited),
+                                  np.asarray(st_x.inited))
+    np.testing.assert_array_equal(np.asarray(st_r.filt), np.asarray(st_x.filt))
+    for k in outs_x:
+        np.testing.assert_array_equal(np.asarray(outs_r[k]),
+                                      np.asarray(outs_x[k]), err_msg=k)
+
+
+def test_resident_replay_via_engine_selector():
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    log = synth_room_scanlog(n_frames=16, seed=5, noise_mm=3.0)
+    f = scanlog_to_arrays(log)
+    batched = {k: np.stack([v, v]) for k, v in f.items()}
+    st_x, _ = replay_mapping_batched(batched, UL_PROFILE)
+    st_r, _ = replay_mapping_batched(batched, UL_PROFILE,
+                                     kernel="resident")
+    np.testing.assert_array_equal(np.asarray(st_r.grid), np.asarray(st_x.grid))

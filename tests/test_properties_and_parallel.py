@@ -103,3 +103,25 @@ def test_sharded_replay_matches_unsharded():
     assert int(metrics["frames_total"]) == 80
     # the result really was sharded over the mesh
     assert len(s_state.grid.sharding.device_set) == 8
+
+
+def test_sharded_resident_kernel_matches_unsharded():
+    """The pallas resident kernel under shard_map: each device runs the
+    whole-replay kernel over its local batch shard."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    logs = [synth_room_scanlog(n_frames=10, seed=40 + s, noise_mm=4.0)
+            for s in range(8)]
+    frames = [scanlog_to_arrays(lg) for lg in logs]
+    batched = {k: np.stack([f[k] for f in frames]) for k in frames[0]}
+
+    mesh = make_mesh(8)
+    s_state, s_outs, metrics = replay_mapping_sharded(
+        batched, UL_PROFILE, mesh, kernel="resident")
+    u_state, u_outs = replay_mapping_batched(
+        {k: jnp.asarray(v) for k, v in batched.items()}, UL_PROFILE)
+
+    np.testing.assert_array_equal(np.asarray(s_state.grid),
+                                  np.asarray(u_state.grid))
+    np.testing.assert_array_equal(np.asarray(s_outs["used"]),
+                                  np.asarray(u_outs["used"]))
+    assert len(s_state.grid.sharding.device_set) == 8
