@@ -2,8 +2,10 @@
 
 Measures the framework's headline metric (BASELINE.md north star:
 >= 1,000,000 fused frames/sec on one TPU v5e chip): B independent flight
-replays, each frame doing beam extraction + gating + the fused 32-ray
-log-odds window update, scanned over T frames and vmapped over B flights.
+replays, each frame doing beam extraction + gating + a fused dense map
+update.  Default kernel is the production path (resident_cone: whole
+replay in one pallas launch, dense inverse sensor model); set
+MQS_BENCH_KERNEL=resident for the bit-exact reference-semantics mode.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the multiple of the reference pipeline's own fused-frame
@@ -106,7 +108,7 @@ def main() -> None:
     mesh = make_mesh()
     frames = shard_batch(frames, mesh)
 
-    kernel = os.environ.get("MQS_BENCH_KERNEL", "resident")
+    kernel = os.environ.get("MQS_BENCH_KERNEL", "resident_cone")
     if kernel != "xla":
         from micro_quad_slam_tpu.parallel.mesh import batch_metrics
         from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched

@@ -239,7 +239,7 @@ def main(argv=None) -> int:
     pr.add_argument("--profile", default="ul", choices=("ul", "cl"))
     pr.add_argument("--kernel", default="xla",
                     choices=("xla", "pallas", "pallas_db", "mxu", "mxu2",
-                             "cone", "resident"),
+                             "cone", "resident", "resident_cone"),
                     help="map-update kernel: xla/pallas are bit-exact "
                          "reference semantics; cone is the dense "
                          "inverse-model production mode")

@@ -69,13 +69,17 @@ _W_DO, _W_SY, _W_SX = 4, 5, 6
 _A_SENT = -20000  # below any reachable D*minor (>= -2*88*44 = -7744)
 
 
-def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom):
+def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
+              mode: str = "exact"):
     """Grid-free scalar replay: reproduces mapping_step's origin / init /
     recenter / enable sequence (replay/mapping.py) and packs the full
     per-(t, b) ray + recenter schedule for the kernel.
 
-    Returns (ray_words i32 [T, B, 8, 128], outs dict of [T, B] arrays,
-    final (origin_x, origin_y, inited, filt))."""
+    mode "exact": returns (ray_words i32 [T, B, 8, 128], outs, final).
+    mode "cone": returns ((words i32 [T, B, 1, 128], fwords f32
+    [T, B, 1, 128]), outs, final) — i32 words 0-7 = r0a, c0a, cy, cx,
+    do, sy, sx, en; f32 words 0-31 = packed beam returns (pack_beams),
+    32-35 = ux, uy, oxc, oyc (cone_cell_delta scalars)."""
     from micro_quad_slam_tpu.replay.mapping import (
         ST_HOVER,
         ST_LANDING,
@@ -117,11 +121,16 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom):
             x, yaw, fr["of_q"].astype(jnp.int32), fr["of_rate_x"],
             fr["sys_health"], cfg.gates.of_min_quality)
 
-        words = _pack_rays(fr["beams"], x, y, yaw, origin_x, origin_y,
-                           enabled, cfg.map, cfg.tof, geom)
-        words = words.at[:, 1, _W_DO].set(do_rc.astype(jnp.int32))
-        words = words.at[:, 1, _W_SY].set(sy)
-        words = words.at[:, 1, _W_SX].set(sx)
+        if mode == "cone":
+            words = _pack_cone(fr["beams"], x, y, yaw, origin_x, origin_y,
+                               enabled, cfg.map, cfg.tof, geom,
+                               do_rc, sy, sx)
+        else:
+            words = _pack_rays(fr["beams"], x, y, yaw, origin_x, origin_y,
+                               enabled, cfg.map, cfg.tof, geom)
+            words = words.at[:, 1, _W_DO].set(do_rc.astype(jnp.int32))
+            words = words.at[:, 1, _W_SY].set(sy)
+            words = words.at[:, 1, _W_SX].set(sx)
 
         out = {
             "used": enabled,
@@ -139,6 +148,51 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom):
             nanb[:, None] + jnp.zeros((4,), jnp.float32))
     final, (ray_words, outs) = lax.scan(step, init, seq)
     return ray_words, outs, final
+
+
+def _pack_cone(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig, tof,
+               geom: GridGeom, do_rc, sy, sx):
+    """Cone-mode schedule words for a [B] batch: (i32 [B, 1, 128],
+    f32 [B, 1, 128]).  Mirrors cone_scan_update's scalar prologue
+    (ops/conemode.py) so the kernel's per-cell math sees identical f32
+    inputs and the grids bit-match the XLA cone path."""
+    from micro_quad_slam_tpu.ops.conemode import fan_basis, pack_beams
+    from micro_quad_slam_tpu.ops.raycast import world_to_cell
+
+    R = geom.win_r
+    B = x.shape[0]
+    pcx, pcy = world_to_cell(x, y, ox, oy, cfg.res_m,
+                             cfg.width // 2, cfg.height // 2)
+    pose_in = ((pcx >= 0) & (pcx < cfg.width)
+               & (pcy >= 0) & (pcy < cfg.height))
+    en = enabled & pose_in
+    pcx = jnp.clip(pcx, 0, cfg.width - 1)
+    pcy = jnp.clip(pcy, 0, cfg.height - 1)
+    r0 = pcy + geom.pad - R
+    c0 = pcx + geom.pad - R
+    r0a = (r0 // 8) * 8
+    c0a = (c0 // 128) * 128
+
+    res = _F32(cfg.res_m)
+    fx = (x - ox) / res + _F32(cfg.width // 2)
+    fy = (y - oy) / res + _F32(cfg.height // 2)
+    oxc = (pcx - R).astype(jnp.float32) - fx
+    oyc = (pcy - R).astype(jnp.float32) - fy
+    ux, uy = fan_basis(yaw, tof)
+    packed = pack_beams(beams.reshape(B, 32), tof)
+
+    iw = jnp.zeros((B, 128), jnp.int32)
+    iw = iw.at[:, 0].set(r0a).at[:, 1].set(c0a)
+    iw = iw.at[:, 2].set(pcy + geom.pad - r0a)   # cy
+    iw = iw.at[:, 3].set(pcx + geom.pad - c0a)   # cx
+    iw = iw.at[:, 4].set(do_rc.astype(jnp.int32))
+    iw = iw.at[:, 5].set(sy).at[:, 6].set(sx)
+    iw = iw.at[:, 7].set(en.astype(jnp.int32))
+    fw = jnp.zeros((B, 128), jnp.float32)
+    fw = fw.at[:, 0:32].set(packed)
+    fw = fw.at[:, 32].set(ux).at[:, 33].set(uy)
+    fw = fw.at[:, 34].set(oxc).at[:, 35].set(oyc)
+    return iw[:, None, :], fw[:, None, :]
 
 
 def _nn(s, n):
@@ -220,51 +274,29 @@ def _ray_pass(window: jnp.ndarray, rw, geom: GridGeom, cfg: MapConfig):
     return jnp.maximum(jnp.minimum(mid, up), lo).astype(jnp.int8)
 
 
-def _resident_kernel(ray_ref, grid_ref, out_ref, vgrid, slab,
-                     sem_g, sem_w, sem_o, *, geom: GridGeom, cfg: MapConfig,
-                     nt: int):
-    """ray_ref: SMEM i32 [1, 1, 8, 128] (one (t, b) schedule block);
-    grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); vgrid: VMEM i8
-    resident grid; slab: VMEM i8 (win_rows + 8, 256) aligned window."""
-    t = pl.program_id(1)
-    b = pl.program_id(0)
+def _recenter_in_vmem(vgrid, sy, sx, geom: GridGeom):
+    """recenter_apply (ops/raycast.py) on the resident VMEM grid."""
+    PR, PC = geom.prows, geom.pcols
+    g = vgrid[...].astype(jnp.int32)    # pltpu.roll is 32-bit only
+    g = pltpu.roll(g, _nn(sy, PR), 0)   # new[y, x] = old[y+sy, x+sx]
+    g = pltpu.roll(g, _nn(sx, PC), 1).astype(jnp.int8)
+    r_ids = lax.broadcasted_iota(jnp.int32, (PR, 1), 0)
+    c_ids = lax.broadcasted_iota(jnp.int32, (1, PC), 1)
+    in_log = ((r_ids >= geom.pad) & (r_ids < geom.pad + geom.height)
+              & (c_ids >= geom.pad) & (c_ids < geom.pad + geom.width))
+    src_in = ((r_ids + sy >= geom.pad)
+              & (r_ids + sy < geom.pad + geom.height)
+              & (c_ids + sx >= geom.pad)
+              & (c_ids + sx < geom.pad + geom.width))
+    vgrid[...] = jnp.where(in_log & src_in, g, jnp.int8(0))
+
+
+def _windowed_update(vgrid, slab, sem_w, r0a, c0a, ry, rc,
+                     geom: GridGeom, pass_fn):
+    """Slab DMA -> roll-compact to a [win_rows, win_cols] window with the
+    pose at the static center -> pass_fn -> roll back, blend, store."""
     AWR = geom.win_rows + _AWR_PAD
     AWC = _AWC
-    PR, PC = geom.prows, geom.pcols
-
-    def rw(w):
-        return ray_ref[0, 0, w // 128, w % 128]
-
-    @pl.when(t == 0)
-    def _():
-        cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
-        cp.start()
-        cp.wait()
-
-    # --- recenter (rare; real branch) --------------------------------
-    @pl.when(rw(128 + _W_DO) != 0)
-    def _():
-        sy = rw(128 + _W_SY)
-        sx = rw(128 + _W_SX)
-        g = vgrid[...].astype(jnp.int32)    # pltpu.roll is 32-bit only
-        g = pltpu.roll(g, _nn(sy, PR), 0)   # new[y, x] = old[y+sy, x+sx]
-        g = pltpu.roll(g, _nn(sx, PC), 1).astype(jnp.int8)
-        r_ids = lax.broadcasted_iota(jnp.int32, (PR, 1), 0)
-        c_ids = lax.broadcasted_iota(jnp.int32, (1, PC), 1)
-        in_log = ((r_ids >= geom.pad) & (r_ids < geom.pad + geom.height)
-                  & (c_ids >= geom.pad) & (c_ids < geom.pad + geom.width))
-        src_in = ((r_ids + sy >= geom.pad)
-                  & (r_ids + sy < geom.pad + geom.height)
-                  & (c_ids + sx >= geom.pad)
-                  & (c_ids + sx < geom.pad + geom.width))
-        vgrid[...] = jnp.where(in_log & src_in, g, jnp.int8(0))
-
-    # --- windowed scan update ---------------------------------------
-    r0a = pl.multiple_of(rw(128), 8)
-    c0a = pl.multiple_of(rw(129), 128)
-    ry = rw(130) - geom.win_r    # true window corner inside the slab
-    rc = rw(131) - geom.win_r
-
     cp = pltpu.make_async_copy(
         vgrid.at[pl.ds(r0a, AWR), pl.ds(c0a, AWC)], slab, sem_w)
     cp.start()
@@ -276,7 +308,7 @@ def _resident_kernel(ray_ref, grid_ref, out_ref, vgrid, slab,
                       _nn(rc, AWC), 1).astype(jnp.int8)
     comp = comp[:geom.win_rows, :geom.win_cols]
 
-    upd = _ray_pass(comp, rw, geom, cfg)
+    upd = pass_fn(comp)
 
     full = jnp.pad(
         upd, ((0, AWR - geom.win_rows), (0, AWC - geom.win_cols)),
@@ -294,6 +326,107 @@ def _resident_kernel(ray_ref, grid_ref, out_ref, vgrid, slab,
     cp.start()
     cp.wait()
 
+
+def _resident_kernel(ray_ref, grid_ref, out_ref, vgrid, slab,
+                     sem_g, sem_w, sem_o, *, geom: GridGeom, cfg: MapConfig,
+                     nt: int):
+    """ray_ref: SMEM i32 [1, 1, 8, 128] (one (t, b) schedule block);
+    grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); vgrid: VMEM i8
+    resident grid; slab: VMEM i8 (win_rows + 8, 256) aligned window."""
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+
+    def rw(w):
+        return ray_ref[0, 0, w // 128, w % 128]
+
+    @pl.when(t == 0)
+    def _():
+        cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
+        cp.start()
+        cp.wait()
+
+    # recenter (rare; real branch)
+    @pl.when(rw(128 + _W_DO) != 0)
+    def _():
+        _recenter_in_vmem(vgrid, rw(128 + _W_SY), rw(128 + _W_SX), geom)
+
+    r0a = pl.multiple_of(rw(128), 8)
+    c0a = pl.multiple_of(rw(129), 128)
+    ry = rw(130) - geom.win_r    # true window corner inside the slab
+    rc = rw(131) - geom.win_r
+    _windowed_update(vgrid, slab, sem_w, r0a, c0a, ry, rc, geom,
+                     lambda comp: _ray_pass(comp, rw, geom, cfg))
+
+    @pl.when(t == nt - 1)
+    def _():
+        cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
+        cp.start()
+        cp.wait()
+
+
+def _cone_pass(window: jnp.ndarray, rw, fw, geom: GridGeom, cfg: MapConfig,
+               tof, cone):
+    """Dense inverse-model pass on the compact window: the SAME
+    cone_cell_delta jnp code as the XLA path (bit-identical f32)."""
+    from micro_quad_slam_tpu.ops.conemode import cone_cell_delta
+
+    rowsf = lax.broadcasted_iota(
+        jnp.int32, (geom.win_rows, 1), 0).astype(jnp.float32)
+    colsf = lax.broadcasted_iota(
+        jnp.int32, (1, geom.win_cols), 1).astype(jnp.float32)
+    packed = [fw(i) for i in range(32)]
+    delta = cone_cell_delta(rowsf, colsf, fw(34), fw(35), cfg.res_m,
+                            fw(32), fw(33), packed, tof, cone)
+
+    # logical-grid bound + enable gate, as i32 products (1-D mask
+    # broadcasts are unsupported relayouts in Mosaic)
+    gy0 = rw(0) + (rw(2) - geom.win_r) - geom.pad   # logical y of row 0
+    gx0 = rw(1) + (rw(3) - geom.win_r) - geom.pad
+    rows = lax.broadcasted_iota(jnp.int32, (geom.win_rows, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, geom.win_cols), 1)
+    gy = rows + gy0
+    gx = cols + gx0
+    row_ok = jnp.where((gy >= 0) & (gy < geom.height), 1, 0)
+    col_ok = jnp.where((gx >= 0) & (gx < geom.width), 1, 0)
+    delta = delta * (row_ok * col_ok) * rw(7)
+
+    v0 = window.astype(jnp.int32)
+    return jnp.clip(v0 + delta, cfg.lo_min, cfg.lo_max).astype(jnp.int8)
+
+
+def _resident_cone_kernel(iw_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
+                          sem_g, sem_w, sem_o, *, geom: GridGeom,
+                          cfg: MapConfig, tof, cone, nt: int):
+    """Cone-mode twin of _resident_kernel.  iw_ref: SMEM i32
+    [1, 1, 1, 128] (words 0-7 = r0a, c0a, cy, cx, do, sy, sx, en);
+    fw_ref: SMEM f32 [1, 1, 1, 128] (see _pack_cone)."""
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+
+    def rw(w):
+        return iw_ref[0, 0, 0, w]
+
+    def fw(w):
+        return fw_ref[0, 0, 0, w]
+
+    @pl.when(t == 0)
+    def _():
+        cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
+        cp.start()
+        cp.wait()
+
+    @pl.when(rw(4) != 0)
+    def _():
+        _recenter_in_vmem(vgrid, rw(5), rw(6), geom)
+
+    r0a = pl.multiple_of(rw(0), 8)
+    c0a = pl.multiple_of(rw(1), 128)
+    ry = rw(2) - geom.win_r
+    rc = rw(3) - geom.win_r
+    _windowed_update(vgrid, slab, sem_w, r0a, c0a, ry, rc, geom,
+                     lambda comp: _cone_pass(comp, rw, fw, geom, cfg,
+                                             tof, cone))
+
     @pl.when(t == nt - 1)
     def _():
         cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
@@ -303,49 +436,71 @@ def _resident_kernel(ray_ref, grid_ref, out_ref, vgrid, slab,
 
 def pallas_replay_resident(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                            geom: GridGeom = DEFAULT_GEOM,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           mode: str = "exact"):
     """Whole-replay resident-grid kernel.  frames: dict of [B, T, ...]
     arrays (as replay_mapping_batched).  Returns (MappingState [B],
-    outs [B, T]) bit-identical to the XLA replay."""
+    outs [B, T]).  mode "exact" is bit-identical to the XLA replay /
+    golden C model; mode "cone" is bit-identical to the XLA cone replay
+    (the dense inverse-model production path)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # jit the whole pipeline: eager execution would dispatch the schedule
     # scan op-by-op (ruinous through a remote-TPU tunnel)
-    return _replay_resident_jit(frames, cfg, geom, interpret)
+    return _replay_resident_jit(frames, cfg, geom, interpret, mode)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _replay_resident_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
-                         interpret: bool):
+                         interpret: bool, mode: str = "exact"):
     from micro_quad_slam_tpu.replay.mapping import MappingState
 
     B, T = frames["x_m"].shape
-    ray_words, outs, (ox, oy, inited, filt) = _schedule(frames, cfg, geom)
+    words, outs, (ox, oy, inited, filt) = _schedule(frames, cfg, geom, mode)
 
     grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
-    kernel = functools.partial(_resident_kernel, geom=geom, cfg=cfg.map,
-                               nt=T)
-    grid_out = pl.pallas_call(
-        kernel,
-        grid=(B, T),
-        in_specs=[
+    scratch = [
+        pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
+        pltpu.VMEM((geom.win_rows + _AWR_PAD, _AWC), jnp.int8),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if mode == "cone":
+        from micro_quad_slam_tpu.ops.conemode import ConeConfig
+        kernel = functools.partial(_resident_cone_kernel, geom=geom,
+                                   cfg=cfg.map, tof=cfg.tof,
+                                   cone=ConeConfig(), nt=T)
+        in_specs = [
+            pl.BlockSpec((1, 1, 1, 128), lambda b, t: (t, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 128), lambda b, t: (t, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args = (*words, grids)
+        alias = {2: 0}
+    else:
+        kernel = functools.partial(_resident_kernel, geom=geom,
+                                   cfg=cfg.map, nt=T)
+        in_specs = [
             pl.BlockSpec((1, 1, 8, 128), lambda b, t: (t, b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ]
+        args = (words, grids)
+        alias = {1: 0}
+    grid_out = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(grids.shape, jnp.int8),
-        scratch_shapes=[
-            pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
-            pltpu.VMEM((geom.win_rows + _AWR_PAD, _AWC), jnp.int8),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        input_output_aliases={1: 0},
+        scratch_shapes=scratch,
+        input_output_aliases=alias,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ray_words, grids)
+    )(*args)
 
     state = MappingState(grid=grid_out, origin_x=ox, origin_y=oy,
                          inited=inited, filt=filt)

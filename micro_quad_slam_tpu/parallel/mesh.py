@@ -81,12 +81,12 @@ def replay_mapping_sharded(
     """
     mesh = mesh or make_mesh()
     frames = shard_batch(frames, mesh)
-    if kernel != "resident":
+    if not kernel.startswith("resident"):
         return _replay_batched_with_metrics(frames, cfg, geom, kernel)
 
     spec = P(LOGS_AXIS)
     inner = jax.shard_map(
-        partial(_replay_batched, cfg=cfg, geom=geom, kernel="resident"),
+        partial(_replay_batched, cfg=cfg, geom=geom, kernel=kernel),
         mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=False)  # pallas out_shape carries no vma type
 

@@ -220,12 +220,13 @@ _SEQ_KEYS = ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health", "state"
 def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
                     kernel: str = "xla"):
     """frames: dict of [B, T, ...] arrays -> (MappingState [B], outs [B, T])."""
-    if kernel == "resident":
+    if kernel in ("resident", "resident_cone"):
         # whole replay in ONE pallas launch: grid resident in VMEM per
         # quad, schedule precomputed by a grid-free scalar scan
         from micro_quad_slam_tpu.ops.pallas_resident import (
             pallas_replay_resident)
-        return pallas_replay_resident(frames, cfg, geom)
+        mode = "cone" if kernel == "resident_cone" else "exact"
+        return pallas_replay_resident(frames, cfg, geom, mode=mode)
     B, T = frames["x_m"].shape
     # beams for every (flight, frame) at once — parallel, outside the scan
     beams, minima = extract_beams(frames["grid_mm"], cfg.tof)

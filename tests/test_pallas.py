@@ -116,3 +116,31 @@ def test_resident_replay_via_engine_selector():
     st_r, _ = replay_mapping_batched(batched, UL_PROFILE,
                                      kernel="resident")
     np.testing.assert_array_equal(np.asarray(st_r.grid), np.asarray(st_x.grid))
+
+
+def test_resident_cone_bit_matches_xla_cone():
+    """Cone-mode resident kernel (interpret): bit-equal grids vs the XLA
+    cone replay, including recentering (shared transcendental-free
+    classifier -> identical IEEE f32 on both paths)."""
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    logs = [
+        synth_room_scanlog(n_frames=20, seed=3, noise_mm=5.0, dropout_p=0.05),
+        synth_room_scanlog(n_frames=20, seed=7, noise_mm=4.0),
+    ]
+    frames = [scanlog_to_arrays(lg) for lg in logs]
+    batched = {k: np.stack([f[k] for f in frames]) for k in frames[0]}
+    T = batched["x_m"].shape[1]
+    batched["x_m"][1] = np.linspace(0.0, 34.0, T, dtype=np.float32)
+    batched["y_m"][1] = np.linspace(0.0, -21.0, T, dtype=np.float32)
+
+    st_c, outs_c = replay_mapping_batched(batched, UL_PROFILE, kernel="cone")
+    st_r, outs_r = replay_mapping_batched(batched, UL_PROFILE,
+                                          kernel="resident_cone")
+    assert (np.asarray(outs_c["kf_flags"]) != 0).sum() >= 1
+    np.testing.assert_array_equal(np.asarray(st_r.grid), np.asarray(st_c.grid))
+    np.testing.assert_array_equal(np.asarray(outs_r["used"]),
+                                  np.asarray(outs_c["used"]))
