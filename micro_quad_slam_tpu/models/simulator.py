@@ -8,7 +8,7 @@ Each sim step composes the whole framework:
   FC model       -> telemetry (L0/L1 analog)          [every step]
   EKF            -> pose estimate (ops/ekf.py)        [flow rate]
   mapper         -> occupancy grid (ops/raycast.py)   [scan ticks]
-  frontier       -> exploration queries (B7)          [every step]
+  frontier       -> exploration queries (B7)          [scan ticks]
   behavior       -> commands (models/behavior.py)     [every step]
   dynamics       -> pose/velocity integration         [every step]
 
@@ -215,6 +215,7 @@ class SimState(NamedTuple):
     vis_rate_x: jnp.ndarray     # [B] latched vision flow rates (rad/s)
     vis_rate_y: jnp.ndarray
     vis_q: jnp.ndarray          # [B] vision flow quality 0..255
+    frontier: jnp.ndarray       # i32 [B, 4] latest frontier scores (scan ticks)
 
 
 def sim_init(batch: int, key=None, geom: GridGeom = DEFAULT_GEOM,
@@ -242,6 +243,7 @@ def sim_init(batch: int, key=None, geom: GridGeom = DEFAULT_GEOM,
         vis_rate_x=jnp.full((batch,), jnp.nan, jnp.float32),
         vis_rate_y=jnp.full((batch,), jnp.nan, jnp.float32),
         vis_q=jnp.zeros((batch,), jnp.int32),
+        frontier=jnp.zeros((batch, 4), jnp.int32),
     )
 
 
@@ -349,12 +351,20 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
     ekf = EkfState(mean, ekf.cov)
 
     # ---- frontier queries from the mapper grid (B7) ----
-    fr = jax.vmap(
-        lambda g, xi, yi, yawi, oxi, oyi, ini: frontier_scores(
-            g, xi, yi, yawi, (0.0, 90.0, -90.0, 180.0), oxi, oyi, ini,
-            cfg.map, geom)
-    )(mapper.grid, ekf.mean[..., 0], ekf.mean[..., 1], state.yaw,
-      mapper.origin_x, mapper.origin_y, mapper.inited)
+    # refreshed on scan ticks only: the grid only changes then, the
+    # reference re-evaluates frontiers at retarget cadence (~1 Hz,
+    # uav_local_nav.c:370-420), and the whole-grid query dominated the
+    # 1 kHz tick cost when run every step.
+    def do_frontier(_):
+        return jax.vmap(
+            lambda g, xi, yi, yawi, oxi, oyi, ini: frontier_scores(
+                g, xi, yi, yawi, (0.0, 90.0, -90.0, 180.0), oxi, oyi, ini,
+                cfg.map, geom)
+        )(mapper.grid, ekf.mean[..., 0], ekf.mean[..., 1], state.yaw,
+          mapper.origin_x, mapper.origin_y, mapper.inited)
+
+    fr = lax.cond(scan_due, do_frontier, lambda _: state.frontier,
+                  operand=None)
 
     # ---- telemetry assembly (the FC/L1 interface, SURVEY §3.5) ----
     bt = jnp.broadcast_to(t, (B,)).astype(jnp.int32)
@@ -489,7 +499,7 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
         alt=alt, fc=fc, beh=beh, mapper=mapper, ekf=ekf, tof_min=tof_min,
         scan_count=state.scan_count + W(scan_due, 1, 0).astype(jnp.int32),
         cam_prev=cam_prev, cam_valid=cam_valid, vis_rate_x=vis_rx,
-        vis_rate_y=vis_ry, vis_q=vis_q,
+        vis_rate_y=vis_ry, vis_q=vis_q, frontier=fr,
     )
     diag = {
         "state": out["state"],
