@@ -21,14 +21,14 @@ Per frame the kernel then does:
   - compact: dynamic two-axis `pltpu.roll` so the true window sits at
     (0, 0) — the 32-ray pass runs on a [96, 128] window with a STATIC
     center (win_r, win_r), exactly window_scan_update's shape;
-  - the ray pass itself in int8/int16 with NO integer division:
-    minor == floor(A / D) is tested as D*minor <= A < D*minor + D
-    (exact for D > 0, including the D = max(2*dmaj, 1) = 1 degenerate
-    zero-length-ray case), with out-of-extent / invalid rays folded in
-    by forcing A to a sentinel below any reachable D*minor.  int8 P /
-    running-extrema carries (per-scan range is -32..+48) and int16
-    products (|A| <= 2*88*84 + 88 < 2^15) keep every [96, 128] op at
-    3-6 vregs instead of int32's 26;
+  - the ray pass itself with NO integer division: minor == floor(A / D)
+    is tested as D*minor <= A < D*minor + D (exact for D > 0, including
+    the D = max(2*dmaj, 1) = 1 degenerate zero-length-ray case), with
+    out-of-extent / invalid rays folded in by forcing A to a sentinel
+    below any reachable D*minor.  All in int32: Mosaic v5e supports
+    neither int8 vector arithmetic nor ordered int16 vector compares,
+    but the compact window (12 vregs/op vs 26) and the dropped integer
+    divisions still cut the per-frame ALU ~11x;
   - sequential int8 clamping recovered in one int16 pass from the
     prefix extrema (Skorokhod form, see ops/raycast.py);
   - roll back, blend into the slab, copy the slab back into the
@@ -445,9 +445,23 @@ def pallas_replay_resident(frames: dict, cfg: PipelineConfig = UL_PROFILE,
     (the dense inverse-model production path)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    _check_vmem_fit(geom)
     # jit the whole pipeline: eager execution would dispatch the schedule
     # scan op-by-op (ruinous through a remote-TPU tunnel)
     return _replay_resident_jit(frames, cfg, geom, interpret, mode)
+
+
+def _check_vmem_fit(geom: GridGeom, limit_bytes: int = 4 << 20):
+    """The resident kernels keep one full padded grid in VMEM; refuse
+    clearly for custom geometries that cannot fit (use the xla / mxu2 /
+    per-step pallas kernels there)."""
+    need = geom.prows * geom.pcols
+    if need > limit_bytes:
+        raise ValueError(
+            f"resident kernel needs the padded grid in VMEM: "
+            f"{geom.prows}x{geom.pcols} int8 = {need/2**20:.1f} MiB exceeds "
+            f"the {limit_bytes/2**20:.0f} MiB budget; use kernel='xla' or "
+            f"'mxu2' for this geometry")
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -506,3 +520,57 @@ def _replay_resident_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
                          inited=inited, filt=filt)
     outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}
     return state, outs
+
+
+def pallas_map_track(beams, x, y, yaw_deg, origin_x, origin_y,
+                     cfg: PipelineConfig = UL_PROFILE,
+                     geom: GridGeom = DEFAULT_GEOM,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """Raster a full [B, T] pose track into fresh grids in ONE resident-
+    kernel launch — the SLAM re-raster semantics (slam/pipeline._map_pass
+    with match=False): every frame enabled, fixed per-flight origin, no
+    recentering.  beams f32 [B, T, 4, 8]; x/y/yaw_deg f32 [B, T];
+    origin_x/y f32 [B].  Bit-identical to scanning vmapped
+    apply_scan_to_grid over T."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _check_vmem_fit(geom)
+    return _map_track_jit(beams, x, y, yaw_deg, origin_x, origin_y,
+                          cfg, geom, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def _map_track_jit(beams, x, y, yaw_deg, origin_x, origin_y,
+                   cfg: PipelineConfig, geom: GridGeom, interpret: bool):
+    B, T = x.shape
+    en = jnp.ones((B,), bool)
+    words = jax.vmap(
+        lambda b_, x_, y_, w_: _pack_rays(
+            b_, x_, y_, w_, origin_x, origin_y, en, cfg.map, cfg.tof, geom),
+        in_axes=(1, 1, 1, 1), out_axes=0,
+    )(beams, x, y, yaw_deg)                    # [T, B, 8, 128] i32
+
+    grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+    kernel = functools.partial(_resident_kernel, geom=geom, cfg=cfg.map,
+                               nt=T)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, 128), lambda b, t: (t, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(grids.shape, jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
+            pltpu.VMEM((geom.win_rows + _AWR_PAD, _AWC), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(words, grids)

@@ -99,15 +99,15 @@ def _map_pass(beams, poses, inited_from, cfg, geom, match: bool,
 
         def do_match(args):
             grid, x, y, yaw_deg = args
+            # NB: the per-flight origins must be vmapped too — closing
+            # over the [B] arrays broadcasts wrongly for B > 1
             res = jax.vmap(
-                lambda g, bb, xi, yi, yi2: match_scan(
-                    g, bb, xi, yi, yi2, ox0_, oy0_, cfg.map, cfg.tof, geom)
-            )(grid, b, x, y, yaw_deg)
+                lambda g, bb, xi, yi, yi2, oxi, oyi: match_scan(
+                    g, bb, xi, yi, yi2, oxi, oyi, cfg.map, cfg.tof, geom)
+            )(grid, b, x, y, yaw_deg, ox0, oy0)
             ok = res.quality > _F32(3.0)
             return (jnp.where(ok, res.x, x), jnp.where(ok, res.y, y),
                     jnp.where(ok, res.yaw_deg, yaw_deg))
-
-        ox0_, oy0_ = ox0, oy0
         if match:
             x, y, yaw_deg = lax.cond(
                 kf_due, do_match, lambda a: (a[1], a[2], a[3]),
@@ -178,6 +178,18 @@ def slam_replay(frames: dict, cfg: PipelineConfig = UL_PROFILE,
     rel = se2_relative(odo[:, kf_idx][:, owner], odo)       # [B, T, 3]
     track = se2_compose(kf_nodes[:, owner], rel)
 
-    # pass 3: re-raster from the corrected track
-    grid, _, origin = _map_pass(beams, track, 0, cfg, geom, False, kf_mask)
+    # pass 3: re-raster from the corrected track.  No map feedback here,
+    # so on TPU the whole pass runs as ONE resident-kernel launch
+    # (ops/pallas_resident.py; bit-identical to the scan of vmapped
+    # apply_scan_to_grid).
+    if jax.default_backend() == "tpu":
+        from micro_quad_slam_tpu.ops.pallas_resident import pallas_map_track
+        ox0, oy0 = track[:, 0, 0], track[:, 0, 1]
+        grid = pallas_map_track(
+            beams, track[..., 0], track[..., 1],
+            jnp.rad2deg(track[..., 2]), ox0, oy0, cfg, geom)
+        origin = (ox0, oy0)
+    else:
+        grid, _, origin = _map_pass(beams, track, 0, cfg, geom, False,
+                                    kf_mask)
     return SlamResult(grid, track, odo, kf_idx, kf_nodes, gn_costs, origin)

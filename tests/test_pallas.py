@@ -144,3 +144,58 @@ def test_resident_cone_bit_matches_xla_cone():
     np.testing.assert_array_equal(np.asarray(st_r.grid), np.asarray(st_c.grid))
     np.testing.assert_array_equal(np.asarray(outs_r["used"]),
                                   np.asarray(outs_c["used"]))
+
+
+def test_map_track_matches_xla_map_pass():
+    """pallas_map_track (interpret): bit-equal to the SLAM re-raster pass
+    (scan of vmapped apply_scan_to_grid, fixed origin, all enabled)."""
+    from micro_quad_slam_tpu.ops.pallas_resident import pallas_map_track
+    from micro_quad_slam_tpu.slam.pipeline import _map_pass
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    rng = np.random.default_rng(5)
+    B, T = 2, 10
+    beams = rng.uniform(0.1, 4.0, (B, T, 4, 8)).astype(np.float32)
+    beams[rng.random(beams.shape) < 0.05] = np.nan
+    poses = np.stack([
+        rng.uniform(-1.5, 1.5, (B, T)).astype(np.float32),
+        rng.uniform(-1.5, 1.5, (B, T)).astype(np.float32),
+        rng.uniform(-np.pi, np.pi, (B, T)).astype(np.float32),
+    ], axis=-1)
+    kf = jnp.zeros((T,), bool)
+
+    grid_x, _, (ox, oy) = _map_pass(jnp.asarray(beams), jnp.asarray(poses),
+                                    0, UL_PROFILE, GEOM, False, kf)
+    grid_p = pallas_map_track(
+        jnp.asarray(beams), jnp.asarray(poses[..., 0]),
+        jnp.asarray(poses[..., 1]), jnp.rad2deg(jnp.asarray(poses[..., 2])),
+        ox, oy, UL_PROFILE, GEOM, interpret=True)
+    np.testing.assert_array_equal(np.asarray(grid_p), np.asarray(grid_x))
+
+
+def test_resident_vmem_guard():
+    from micro_quad_slam_tpu.ops.pallas_resident import _check_vmem_fit
+    from micro_quad_slam_tpu.ops.raycast import GridGeom
+    big = GridGeom(width=4000, height=4000, prows=4096, pcols=4096)
+    with pytest.raises(ValueError, match="VMEM"):
+        _check_vmem_fit(big)
+
+
+def test_resident_cl_profile_state_enum():
+    """Resident kernel honors the CL state enum (HOVER, LANDING = 5, 6)
+    exactly like the XLA replay selector."""
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import CL_PROFILE
+
+    log = synth_room_scanlog(n_frames=12, seed=31, noise_mm=4.0, state=6)
+    f = scanlog_to_arrays(log)
+    batched = {k: np.stack([v, v]) for k, v in f.items()}
+    st_x, outs_x = replay_mapping_batched(batched, CL_PROFILE)
+    st_r, outs_r = replay_mapping_batched(batched, CL_PROFILE,
+                                          kernel="resident")
+    np.testing.assert_array_equal(np.asarray(st_r.grid), np.asarray(st_x.grid))
+    np.testing.assert_array_equal(np.asarray(outs_r["used"]),
+                                  np.asarray(outs_x["used"]))
+    assert np.asarray(outs_x["used"]).any()  # state 6 = CL LANDING, maps

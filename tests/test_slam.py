@@ -156,3 +156,23 @@ def test_slam_reduces_drift():
     # corrected map contains walls
     g = np.asarray(logical_grid(res.grid))[0]
     assert (g > 10).sum() > 30
+
+
+def test_slam_batched_flights_use_their_own_origins():
+    """B > 1 regression: scan-matching must use each flight's own map
+    origin (a closure bug made this crash/broadcast wrongly for B > 1).
+    Two copies of the same flight, one shifted 5 m in x, must produce
+    identical maps."""
+    frames1, _ = _drifty_frames(T=80, seed=3)
+    shifted = {k: v.copy() for k, v in frames1.items()}
+    for k in ("x_m",):
+        shifted[k] = shifted[k] + np.float32(5.0)
+    batched = {k: np.concatenate([frames1[k], shifted[k]])
+               for k in frames1}
+    res = slam_replay(batched, UL_PROFILE, GEOM, 10, 4)
+    g = np.asarray(res.grid)
+    assert g.shape[0] == 2
+    np.testing.assert_array_equal(g[0], g[1])
+    # and the tracks really are 5 m apart
+    dx = np.asarray(res.track)[1, :, 0] - np.asarray(res.track)[0, :, 0]
+    assert np.allclose(dx, 5.0, atol=1e-3)
