@@ -8,12 +8,11 @@ window slices.  This kernel owns the whole update per quad:
   grid = (B,) programs, one per quad, on the single TensorCore:
     1. DMA the quad's (96, 128) int8 window HBM -> VMEM at its
        pose-dependent offset (no batched-gather: a real strided DMA).
-    2. Unrolled 32-ray pass in VMEM/vregs: per ray, ONE [96,128] compare
-       per orientation against a sentinel-masked minor-offset vector,
-       membership OR, P -= member, mn = min(mn, P) — then *scalar*
-       endpoint fixups (P[e] += 1+ed, mx[e] = max(mx[e], P[e])), exact
-       because only endpoint deltas are positive (see ops/raycast.py's
-       Skorokhod-form derivation).
+    2. Unrolled 32-ray pass in VMEM/vregs: per ray, one [AWR, 256]
+       compare per orientation against a sentinel-masked minor-offset
+       vector, membership OR, endpoint select, and the (P, max, min)
+       prefix updates that recover exact sequential int8 clamping
+       (see ops/raycast.py's Skorokhod-form derivation).
     3. Apply final = max(lo, min(mid, up)) and DMA the window back.
 
 Ray parameters arrive as per-quad scalars in SMEM (computed by the XLA
