@@ -237,27 +237,33 @@ def _ray_pass(window: jnp.ndarray, rw, geom: GridGeom, cfg: MapConfig):
         mA = (2 * dx * sy) * rows       # 2*dx*ky    [R, 1]
 
         # X-major: ky == floor((2*kx*dy + dx) / D)
-        #   <=> D*ky <= 2*kx*dy + dx < D*ky + D, kx in [0, dx].
-        # kx = sx*col in [0, dx] <=> col in [min(ex,0), max(ex,0)]; the
-        # xmaj/valid gates fold in as an empty range (all gating is
-        # scalar: Mosaic can't relayout selects between 1-D masks).
+        #   <=> mD <= ax < mD + D   with ax = 2*kx*dy + dx, kx in [0, dx]
+        #   (kx = sx*col in [0, dx] <=> col in [min(ex,0), max(ex,0)];
+        #   the xmaj/valid gates fold in as an empty range — all gating
+        #   is scalar: Mosaic can't relayout selects between 1-D masks).
+        # Y-major: kx == floor((2*ky*dx + dy) / E)
+        #   <=> nE <= ay < nE + E   with ay = 2*ky*dx + dy, ky in [0, dy]
+        #   <=> ay <= nE + E - 1 < ay + E          (integer identity)
+        # The Y form swaps so BOTH orientations share one broadcast
+        # row <= lane < row + Dv compare pair; the 1-D operands select
+        # by majorness.  Sentinels force non-membership: lane -> very
+        # low for X, row -> very high for Y.
         okx = xmaj & val
         lo = jnp.where(okx, jnp.minimum(ex, 0), 1)
         hi = jnp.where(okx, jnp.maximum(ex, 0), 0)
         ax = jnp.where((cols >= lo) & (cols <= hi), nA + dx,
                        jnp.int32(_A_SENT))
-        memx = (mD <= ax) & (ax < mD + D)
 
-        # Y-major: kx == floor((2*ky*dx + dy) / E)
-        #   <=> E*kx <= 2*ky*dx + dy < E*kx + E, ky in [0, dy]
         oky = (~xmaj) & val
         lo = jnp.where(oky, jnp.minimum(ey, 0), 1)
         hi = jnp.where(oky, jnp.maximum(ey, 0), 0)
         ay = jnp.where((rows >= lo) & (rows <= hi), mA + dy,
-                       jnp.int32(_A_SENT))
-        memy = (nE <= ay) & (ay < nE + E)
+                       jnp.int32(-_A_SENT))
 
-        member = memx | memy
+        lane_t = jnp.where(xmaj, ax, nE + (E - 1))      # [1, C]
+        row_t = jnp.where(xmaj, mD, ay)                 # [R, 1]
+        Dv = jnp.where(xmaj, D, E)
+        member = (row_t <= lane_t) & (lane_t < row_t + Dv)
         # endpoint as ONE 2-D compare (broadcasting two 1-D masks would
         # need an unsupported mask relayout); val gates via the sentinel
         eyv = jnp.where(val, ey, 9999)
