@@ -253,9 +253,11 @@ def replay_mapping_batched(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                            geom: GridGeom = DEFAULT_GEOM,
                            kernel: str = "xla"):
     """Batched replay: frames dict of [B, T, ...] arrays.  kernel:
-    "xla" (bit-exact reference semantics), "pallas" (fused TPU kernel,
-    bit-identical to xla), or "cone" (dense inverse sensor model — the
-    production mapping mode, far faster and denser, not bit-exact)."""
+    "xla" / "pallas" / "pallas_db" / "mxu" / "mxu2" / "resident" are all
+    bit-exact reference semantics ("resident" = the flagship whole-replay
+    pallas kernel, ops/pallas_resident.py); "cone" / "resident_cone" are
+    the dense inverse-sensor-model production mode (bit-identical to each
+    other, denser and far faster, not bit-exact vs the reference)."""
     return _replay_batched(frames, cfg, geom, kernel)
 
 
