@@ -70,7 +70,7 @@ _A_SENT = -20000  # below any reachable D*minor (>= -2*88*44 = -7744)
 
 
 def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
-              mode: str = "exact"):
+              mode: str = "exact", state0=None):
     """Grid-free scalar replay: reproduces mapping_step's origin / init /
     recenter / enable sequence (replay/mapping.py) and packs the full
     per-(t, b) ray + recenter schedule for the kernel.
@@ -140,12 +140,16 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
         }
         return (origin_x, origin_y, inited, filt), (words, out)
 
-    # carry init derived from the data (not constants) so its sharding
-    # varying-axis type matches the body outputs under shard_map
-    x0 = frames["x_m"][:, 0]
-    nanb = jnp.full_like(x0, jnp.nan)
-    init = (nanb, nanb, jnp.zeros_like(x0, bool),
-            nanb[:, None] + jnp.zeros((4,), jnp.float32))
+    if state0 is not None:   # resume a checkpointed replay
+        init = (state0.origin_x, state0.origin_y, state0.inited,
+                state0.filt)
+    else:
+        # carry init derived from the data (not constants) so its
+        # sharding varying-axis type matches the body under shard_map
+        x0 = frames["x_m"][:, 0]
+        nanb = jnp.full_like(x0, jnp.nan)
+        init = (nanb, nanb, jnp.zeros_like(x0, bool),
+                nanb[:, None] + jnp.zeros((4,), jnp.float32))
     final, (ray_words, outs) = lax.scan(step, init, seq)
     return ray_words, outs, final
 
@@ -443,18 +447,19 @@ def _resident_cone_kernel(iw_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
 def pallas_replay_resident(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                            geom: GridGeom = DEFAULT_GEOM,
                            interpret: bool | None = None,
-                           mode: str = "exact"):
+                           mode: str = "exact", state0=None):
     """Whole-replay resident-grid kernel.  frames: dict of [B, T, ...]
     arrays (as replay_mapping_batched).  Returns (MappingState [B],
     outs [B, T]).  mode "exact" is bit-identical to the XLA replay /
     golden C model; mode "cone" is bit-identical to the XLA cone replay
-    (the dense inverse-model production path)."""
+    (the dense inverse-model production path).  state0 resumes a prior
+    replay's MappingState (checkpoint-restart)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     _check_vmem_fit(geom)
     # jit the whole pipeline: eager execution would dispatch the schedule
     # scan op-by-op (ruinous through a remote-TPU tunnel)
-    return _replay_resident_jit(frames, cfg, geom, interpret, mode)
+    return _replay_resident_jit(frames, cfg, geom, interpret, mode, state0)
 
 
 def _check_vmem_fit(geom: GridGeom, limit_bytes: int = 4 << 20):
@@ -472,13 +477,17 @@ def _check_vmem_fit(geom: GridGeom, limit_bytes: int = 4 << 20):
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _replay_resident_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
-                         interpret: bool, mode: str = "exact"):
+                         interpret: bool, mode: str = "exact", state0=None):
     from micro_quad_slam_tpu.replay.mapping import MappingState
 
     B, T = frames["x_m"].shape
-    words, outs, (ox, oy, inited, filt) = _schedule(frames, cfg, geom, mode)
+    words, outs, (ox, oy, inited, filt) = _schedule(frames, cfg, geom,
+                                                    mode, state0)
 
-    grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+    if state0 is not None:
+        grids = state0.grid
+    else:
+        grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
     scratch = [
         pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
         pltpu.VMEM((geom.win_rows + _AWR_PAD, _AWC), jnp.int8),

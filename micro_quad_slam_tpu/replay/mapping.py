@@ -218,15 +218,27 @@ _SEQ_KEYS = ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health", "state"
 
 
 def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
-                    kernel: str = "xla"):
-    """frames: dict of [B, T, ...] arrays -> (MappingState [B], outs [B, T])."""
+                    kernel: str = "xla", state0=None):
+    """frames: dict of [B, T, ...] arrays -> (MappingState [B], outs [B, T]).
+
+    state0 resumes a previous replay (checkpoint-restart, SURVEY.md §5.4):
+    pass the MappingState from an earlier call (possibly round-tripped
+    through utils/checkpoint) and the continuation is bit-identical to
+    replaying the concatenated frames in one call."""
+    if state0 is not None and \
+            state0.origin_x.shape[0] != frames["x_m"].shape[0]:
+        raise ValueError(
+            f"batch mismatch: state0 holds {state0.origin_x.shape[0]} "
+            f"flights but frames hold {frames['x_m'].shape[0]} (resume "
+            f"must continue the same batch)")
     if kernel in ("resident", "resident_cone"):
         # whole replay in ONE pallas launch: grid resident in VMEM per
         # quad, schedule precomputed by a grid-free scalar scan
         from micro_quad_slam_tpu.ops.pallas_resident import (
             pallas_replay_resident)
         mode = "cone" if kernel == "resident_cone" else "exact"
-        return pallas_replay_resident(frames, cfg, geom, mode=mode)
+        return pallas_replay_resident(frames, cfg, geom, mode=mode,
+                                      state0=state0)
     B, T = frames["x_m"].shape
     # beams for every (flight, frame) at once — parallel, outside the scan
     beams, minima = extract_beams(frames["grid_mm"], cfg.tof)
@@ -234,13 +246,14 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     seq["beams"] = jnp.moveaxis(beams, 0, 1)
     seq["minima"] = jnp.moveaxis(minima, 0, 1)
 
-    def step(st, fr):
-        return mapping_step(st, fr, cfg, geom, kernel)
-
-    init = mapping_init(B, geom)
+    init = state0 if state0 is not None else mapping_init(B, geom)
     if kernel == "mxu2":
         # the mxu2 kernel carries the grid in bf16 (int8 values exact)
         init = init._replace(grid=init.grid.astype(jnp.bfloat16))
+
+    def step(st, fr):
+        return mapping_step(st, fr, cfg, geom, kernel)
+
     state, outs = lax.scan(step, init, seq)
     if kernel == "mxu2":
         state = state._replace(grid=jnp.round(state.grid).astype(jnp.int8))
@@ -251,14 +264,17 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def replay_mapping_batched(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                            geom: GridGeom = DEFAULT_GEOM,
-                           kernel: str = "xla"):
+                           kernel: str = "xla", state0=None):
     """Batched replay: frames dict of [B, T, ...] arrays.  kernel:
     "xla" / "pallas" / "pallas_db" / "mxu" / "mxu2" / "resident" are all
     bit-exact reference semantics ("resident" = the flagship whole-replay
     pallas kernel, ops/pallas_resident.py); "cone" / "resident_cone" are
     the dense inverse-sensor-model production mode (bit-identical to each
-    other, denser and far faster, not bit-exact vs the reference)."""
-    return _replay_batched(frames, cfg, geom, kernel)
+    other, denser and far faster, not bit-exact vs the reference).
+
+    state0: resume from a prior replay's MappingState (checkpoint-
+    restart); the continuation bit-matches an unbroken replay."""
+    return _replay_batched(frames, cfg, geom, kernel, state0)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

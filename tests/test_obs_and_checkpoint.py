@@ -102,3 +102,38 @@ def test_checkpoint_latest_picks_max(tmp_path):
     t2 = save_checkpoint(d, state, step=10)
     save_checkpoint(d, state, step=5)
     assert latest_checkpoint(d) == t2
+
+
+def test_replay_checkpoint_resume_bit_exact(tmp_path):
+    """Checkpoint-restart of a long replay (SURVEY.md §5.4): replaying
+    two halves with a save/restore roundtrip in between bit-matches an
+    unbroken replay, for both the XLA and the resident kernel."""
+    import numpy as np
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    logs = [synth_room_scanlog(n_frames=20, seed=s, noise_mm=4.0)
+            for s in (3, 9)]
+    fr = [scanlog_to_arrays(lg) for lg in logs]
+    full = {k: np.stack([f[k] for f in fr]) for k in fr[0]}
+    h1 = {k: v[:, :10] for k, v in full.items()}
+    h2 = {k: v[:, 10:] for k, v in full.items()}
+
+    for kernel in ("xla", "resident"):
+        st_full, _ = replay_mapping_batched(full, UL_PROFILE, kernel=kernel)
+        st1, _ = replay_mapping_batched(h1, UL_PROFILE, kernel=kernel)
+        path = save_checkpoint(str(tmp_path / f"ck_{kernel}"), st1, step=10)
+        st1b = restore_checkpoint(path, like=st1)
+        st2, _ = replay_mapping_batched(h2, UL_PROFILE, kernel=kernel,
+                                        state0=st1b)
+        np.testing.assert_array_equal(np.asarray(st2.grid),
+                                      np.asarray(st_full.grid),
+                                      err_msg=kernel)
+        np.testing.assert_array_equal(np.asarray(st2.origin_x),
+                                      np.asarray(st_full.origin_x))
+        np.testing.assert_array_equal(np.asarray(st2.filt),
+                                      np.asarray(st_full.filt))
