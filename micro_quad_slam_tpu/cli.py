@@ -47,10 +47,22 @@ def cmd_replay(args) -> int:
     from micro_quad_slam_tpu.replay import scanlog_to_arrays
 
     log = _load_log(args.log)
-    from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
+    from micro_quad_slam_tpu.replay.mapping import (
+        mapping_init, replay_mapping_batched)
     frames = {k: v[None] for k, v in scanlog_to_arrays(log).items()}
+    state0 = None
+    if args.resume:
+        from micro_quad_slam_tpu.utils.checkpoint import (
+            latest_checkpoint, restore_checkpoint)
+        path = latest_checkpoint(args.resume) or args.resume
+        state0 = restore_checkpoint(path, like=mapping_init(1))
+        print(f"resuming from {path}")
     state, outs = replay_mapping_batched(frames, _profile(args.profile),
-                                         kernel=args.kernel)
+                                         kernel=args.kernel, state0=state0)
+    if args.save_state:
+        from micro_quad_slam_tpu.utils.checkpoint import save_checkpoint
+        p = save_checkpoint(args.save_state, state, step=len(log))
+        print(f"mapper state -> {p}")
     state = type(state)(*(v[0] for v in state))
     outs = {k: v[0] for k, v in outs.items()}
     grid = np.asarray(logical_grid(state.grid))
@@ -151,7 +163,8 @@ def cmd_sim(args) -> int:
     steps = int(args.seconds * 1000 / args.dt_ms)
     record = bool(args.out_prefix) or bool(args.emit_mavlink)
     st, diag = sim_run(st, world, steps, _profile(args.profile),
-                       dt_ms=args.dt_ms, record=record)
+                       dt_ms=args.dt_ms, record=record,
+                       vision_flow=args.vision_flow)
     states = np.asarray(diag["state"])[-1]
     from collections import Counter
     mix = Counter(STATE_NAMES_UL[s] for s in states)
@@ -248,6 +261,10 @@ def main(argv=None) -> int:
     pr.add_argument("--ascii", action="store_true")
     pr.add_argument("--navlog", help="write a reference-format navlog.csv "
                                      "of the replay")
+    pr.add_argument("--save-state", help="checkpoint the final mapper state "
+                                         "(resume a later log with --resume)")
+    pr.add_argument("--resume", help="checkpoint dir/path to resume from "
+                                     "(bit-identical to an unbroken replay)")
     pr.set_defaults(fn=cmd_replay)
 
     pf = sub.add_parser("fusion", help="EKF pose track from raw streams")
@@ -273,6 +290,10 @@ def main(argv=None) -> int:
     pm.add_argument("--out-prefix")
     pm.add_argument("--emit-mavlink",
                     help="write quad 0's MAVLink command stream to a file")
+    pm.add_argument("--vision-flow", action="store_true",
+                    help="localize with REAL pyramidal LK optical flow on "
+                         "rendered downward-camera frames instead of the "
+                         "oracle flow sensor")
     pm.set_defaults(fn=cmd_sim)
 
     py = sub.add_parser("synth", help="generate a synthetic scanlog")
