@@ -46,10 +46,24 @@ def cmd_replay(args) -> int:
     from micro_quad_slam_tpu.ops import logical_grid
     from micro_quad_slam_tpu.replay import scanlog_to_arrays
 
-    log = _load_log(args.log)
     from micro_quad_slam_tpu.replay.mapping import (
         mapping_init, replay_mapping_batched)
-    frames = {k: v[None] for k, v in scanlog_to_arrays(log).items()}
+    if not args.wirecap and not args.log:
+        print("one of --log / --wirecap is required", file=sys.stderr)
+        return 2
+    if args.wirecap:
+        # live-topology replay: raw dual-UART capture (hub SCAN/CTRL +
+        # FC MAVLink) through the same parser/telemetry stack
+        from micro_quad_slam_tpu.replay.livestream import wirecap_to_frames
+        from micro_quad_slam_tpu.formats.wirecap import read_wirecap
+        raw = wirecap_to_frames(read_wirecap(args.wirecap))
+        frames = {k: v[None] for k, v in raw.items()}
+        log = None
+        n_frames = raw["x_m"].shape[0]
+    else:
+        log = _load_log(args.log)
+        frames = {k: v[None] for k, v in scanlog_to_arrays(log).items()}
+        n_frames = len(log)
     state0 = None
     if args.resume:
         from micro_quad_slam_tpu.utils.checkpoint import (
@@ -61,18 +75,21 @@ def cmd_replay(args) -> int:
                                          kernel=args.kernel, state0=state0)
     if args.save_state:
         from micro_quad_slam_tpu.utils.checkpoint import save_checkpoint
-        p = save_checkpoint(args.save_state, state, step=len(log))
+        p = save_checkpoint(args.save_state, state, step=n_frames)
         print(f"mapper state -> {p}")
     state = type(state)(*(v[0] for v in state))
     outs = {k: v[0] for k, v in outs.items()}
     grid = np.asarray(logical_grid(state.grid))
     used = int(np.asarray(outs["used"]).sum())
-    print(f"replayed {len(log)} frames ({used} mapped); "
+    print(f"replayed {n_frames} frames ({used} mapped); "
           f"occupied={int((grid > 10).sum())} free={int((grid < -10).sum())} "
           f"origin=({float(state.origin_x):.2f},{float(state.origin_y):.2f})")
     if args.out:
         np.save(args.out, grid)
         print(f"map -> {args.out}")
+    if args.navlog and log is None:
+        print("--navlog requires a scanlog input (--log)", file=sys.stderr)
+        return 2
     if args.navlog:
         from micro_quad_slam_tpu.formats import NavlogWriter
         filt = np.asarray(outs["filt"])
@@ -203,6 +220,11 @@ def cmd_synth(args) -> int:
         dropout_p=args.dropout, seed=args.seed)
     write_scanlog(args.out, log)
     print(f"synthetic flight ({args.frames} frames, {args.path}) -> {args.out}")
+    if args.emit_wirecap:
+        from micro_quad_slam_tpu.formats.wirecap import write_wirecap
+        from micro_quad_slam_tpu.replay.livestream import scanlog_to_wirecap
+        n = write_wirecap(args.emit_wirecap, scanlog_to_wirecap(log))
+        print(f"dual-UART capture ({n} records) -> {args.emit_wirecap}")
     return 0
 
 
@@ -247,7 +269,11 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("replay", help="scanlog -> occupancy map")
-    pr.add_argument("--log", required=True)
+    pr.add_argument("--log")
+    pr.add_argument("--wirecap", help="replay a raw dual-UART capture "
+                                      "(hub SCAN/CTRL + FC MAVLink, "
+                                      "formats/wirecap.py) instead of a "
+                                      "scanlog")
     pr.add_argument("--out")
     pr.add_argument("--profile", default="ul", choices=("ul", "cl"))
     pr.add_argument("--kernel", default="xla",
@@ -307,6 +333,8 @@ def main(argv=None) -> int:
     py.add_argument("--noise-mm", type=float, default=5.0)
     py.add_argument("--dropout", type=float, default=0.02)
     py.add_argument("--seed", type=int, default=0)
+    py.add_argument("--emit-wirecap", help="also write the flight as a raw "
+                                           "dual-UART capture")
     py.set_defaults(fn=cmd_synth)
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")

@@ -64,64 +64,79 @@ def encode_ctrl_frame(cmd: int, seq: int) -> bytes:
     return bytes(buf)
 
 
+class StreamParser:
+    """Stateful byte-wise parser of a shared SCAN/CTRL UART stream.
+
+    Reproduces pump_tof_uart (uav_local_nav.c:1386-1427): a 0xA6 byte seen
+    while the SCAN parser is idle starts a CTRL frame which consumes the
+    next 6 bytes; otherwise bytes feed the SCAN parser which resyncs on
+    0xA5.  Frames failing the xor8 check are dropped silently, exactly
+    like the reference.  Frames may be split across feed() calls, exactly
+    like a real UART read loop."""
+
+    def __init__(self):
+        self._scan = bytearray()
+        self._ctrl = bytearray()
+
+    def feed(self, data) -> List[Tuple[str, dict]]:
+        """Parse a chunk; returns completed ("scan"/"ctrl", fields)."""
+        out: List[Tuple[str, dict]] = []
+        scan_buf = self._scan
+        ctrl_buf = self._ctrl
+        for b in np.frombuffer(bytes(data), dtype=np.uint8):
+            b = int(b)
+            # CTRL parser has priority when mid-frame or on its header
+            # byte while idle (uav_local_nav.c:1394-1410).
+            if not ctrl_buf:
+                if b == CTRL_HEADER:
+                    ctrl_buf.append(b)
+                    continue
+            else:
+                ctrl_buf.append(b)
+                if len(ctrl_buf) == CTRL_BYTES:
+                    if xor8(bytes(ctrl_buf[:-1])) == ctrl_buf[-1]:
+                        out.append((
+                            "ctrl",
+                            {
+                                "cmd": ctrl_buf[1],
+                                "seq": int.from_bytes(ctrl_buf[2:6],
+                                                      "little"),
+                            },
+                        ))
+                    ctrl_buf.clear()
+                continue
+
+            # SCAN parser (uav_local_nav.c:1412-1425).
+            if not scan_buf and b != SCAN_HEADER:
+                continue
+            scan_buf.append(b)
+            if len(scan_buf) == SCAN_BYTES:
+                if xor8(bytes(scan_buf[:-1])) == scan_buf[-1]:
+                    grid = (
+                        np.frombuffer(bytes(scan_buf[5:5 + 512]),
+                                      dtype="<u2")
+                        .reshape(NUM_SENSORS, 8, 8)
+                        .copy()
+                    )
+                    out.append((
+                        "scan",
+                        {
+                            "t_ms": int.from_bytes(scan_buf[1:5], "little"),
+                            "grid_mm": grid,
+                        },
+                    ))
+                scan_buf.clear()
+        return out
+
+
 def decode_stream(
     data: Union[bytes, bytearray, np.ndarray],
 ) -> Iterator[Tuple[str, dict]]:
-    """Byte-wise parse of a shared SCAN/CTRL UART stream.
-
-    Reproduces pump_tof_uart (uav_local_nav.c:1386-1427): a 0xA6 byte seen
-    while the SCAN parser is idle starts a CTRL frame which consumes the next
-    6 bytes; otherwise bytes feed the SCAN parser which resyncs on 0xA5.
-    Frames failing the xor8 check are dropped silently, exactly like the
-    reference.
+    """One-shot wrapper over StreamParser (see its docstring).
 
     Yields ("scan", {"t_ms", "grid_mm"}) and ("ctrl", {"cmd", "seq"}).
     """
-    buf = np.frombuffer(bytes(data), dtype=np.uint8)
-    scan_buf = bytearray()
-    ctrl_buf = bytearray()
-
-    for b in buf:
-        b = int(b)
-        # CTRL parser has priority when mid-frame or on its header byte
-        # while idle (uav_local_nav.c:1394-1410).
-        if not ctrl_buf:
-            if b == CTRL_HEADER:
-                ctrl_buf.append(b)
-                continue
-        else:
-            ctrl_buf.append(b)
-            if len(ctrl_buf) == CTRL_BYTES:
-                if xor8(bytes(ctrl_buf[:-1])) == ctrl_buf[-1]:
-                    yield (
-                        "ctrl",
-                        {
-                            "cmd": ctrl_buf[1],
-                            "seq": int.from_bytes(ctrl_buf[2:6], "little"),
-                        },
-                    )
-                ctrl_buf.clear()
-            continue
-
-        # SCAN parser (uav_local_nav.c:1412-1425).
-        if not scan_buf and b != SCAN_HEADER:
-            continue
-        scan_buf.append(b)
-        if len(scan_buf) == SCAN_BYTES:
-            if xor8(bytes(scan_buf[:-1])) == scan_buf[-1]:
-                grid = (
-                    np.frombuffer(bytes(scan_buf[5:5 + 512]), dtype="<u2")
-                    .reshape(NUM_SENSORS, 8, 8)
-                    .copy()
-                )
-                yield (
-                    "scan",
-                    {
-                        "t_ms": int.from_bytes(scan_buf[1:5], "little"),
-                        "grid_mm": grid,
-                    },
-                )
-            scan_buf.clear()
+    yield from StreamParser().feed(data)
 
 
 def decode_stream_arrays(data) -> Tuple[np.ndarray, np.ndarray, List[Tuple[int, int]]]:
