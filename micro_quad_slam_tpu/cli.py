@@ -114,19 +114,31 @@ def cmd_fusion(args) -> int:
     from micro_quad_slam_tpu.replay.fusion import (
         fusion_arrays, pose_rmse, replay_fusion)
 
-    log = _load_log(args.log)
-    frames = fusion_arrays(log)
+    if not args.wirecap and not args.log:
+        print("one of --log / --wirecap is required", file=sys.stderr)
+        return 2
+    if args.wirecap:
+        from micro_quad_slam_tpu.formats.wirecap import read_wirecap
+        from micro_quad_slam_tpu.replay.livestream import wirecap_to_frames
+        frames = wirecap_to_frames(read_wirecap(args.wirecap))
+        n_frames = frames["x_m"].shape[0]
+        log = None
+    else:
+        log = _load_log(args.log)
+        frames = fusion_arrays(log)
+        n_frames = len(log)
     state, track = replay_fusion(frames)
     rmse = pose_rmse(track, frames)
     used = int(np.asarray(track["flow_used"]).sum())
-    print(f"EKF replay: {len(log)} frames, flow fused on {used}; "
+    print(f"EKF replay: {n_frames} frames, flow fused on {used}; "
           f"pose RMSE vs logged track: "
           f"{'n/a' if np.isnan(rmse) else f'{rmse * 100:.2f} cm'}")
     if args.out:
+        scan_ms = np.asarray(frames["scan_ms"])
         with open(args.out, "w") as f:
             f.write("t_ms,x,y,vx,vy,flow_used\n")
-            for i in range(len(log)):
-                f.write(f"{int(log.scan_ms[i])},{float(track['x'][i]):.4f},"
+            for i in range(n_frames):
+                f.write(f"{int(scan_ms[i])},{float(track['x'][i]):.4f},"
                         f"{float(track['y'][i]):.4f},"
                         f"{float(track['vx'][i]):.4f},"
                         f"{float(track['vy'][i]):.4f},"
@@ -142,17 +154,30 @@ def cmd_slam(args) -> int:
     from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
     from micro_quad_slam_tpu.slam import slam_replay
 
-    log = _load_log(args.log)
-    frames = {**scanlog_to_arrays(log), **fusion_arrays(log)}
-    frames = {k: v[None] for k, v in frames.items()}
+    if not args.wirecap and not args.log:
+        print("one of --log / --wirecap is required", file=sys.stderr)
+        return 2
+    if args.wirecap:
+        from micro_quad_slam_tpu.formats.wirecap import read_wirecap
+        from micro_quad_slam_tpu.replay.livestream import wirecap_to_frames
+        raw = wirecap_to_frames(read_wirecap(args.wirecap))
+        n_frames = raw["x_m"].shape[0]
+        x_truth, y_truth = raw["x_m"], raw["y_m"]
+        frames = {k: v[None] for k, v in raw.items()}
+    else:
+        log = _load_log(args.log)
+        raw = {**scanlog_to_arrays(log), **fusion_arrays(log)}
+        n_frames = len(log)
+        x_truth, y_truth = log.x_m, log.y_m
+        frames = {k: v[None] for k, v in raw.items()}
     res = slam_replay(frames, _profile(args.profile), DEFAULT_GEOM,
                       args.kf_every, args.gn_iters)
     grid = np.asarray(logical_grid(res.grid))[0]
-    truth_ok = np.isfinite(log.x_m).all()
-    msg = (f"SLAM: {len(log)} frames, {len(np.asarray(res.kf_idx))} keyframes; "
+    truth_ok = np.isfinite(x_truth).all()
+    msg = (f"SLAM: {n_frames} frames, {len(np.asarray(res.kf_idx))} keyframes; "
            f"occupied={int((grid > 10).sum())}")
     if truth_ok:
-        t = np.stack([log.x_m, log.y_m], -1)
+        t = np.stack([x_truth, y_truth], -1)
         oe = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - t).T).mean()
         se = np.hypot(*(np.asarray(res.track)[0, :, :2] - t).T).mean()
         msg += (f"; mean err vs logged track: odom {oe*100:.1f} cm -> "
@@ -294,12 +319,15 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_replay)
 
     pf = sub.add_parser("fusion", help="EKF pose track from raw streams")
-    pf.add_argument("--log", required=True)
+    pf.add_argument("--log")
+    pf.add_argument("--wirecap", help="EKF replay from a raw dual-UART "
+                                      "capture")
     pf.add_argument("--out")
     pf.set_defaults(fn=cmd_fusion)
 
     ps = sub.add_parser("slam", help="scan-matched + graph-refined map")
-    ps.add_argument("--log", required=True)
+    ps.add_argument("--log")
+    ps.add_argument("--wirecap", help="SLAM from a raw dual-UART capture")
     ps.add_argument("--out")
     ps.add_argument("--profile", default="ul", choices=("ul", "cl"))
     ps.add_argument("--kf-every", type=int, default=10)

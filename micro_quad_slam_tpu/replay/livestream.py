@@ -63,10 +63,16 @@ def wirecap_to_frames(records: Sequence[Tuple[int, int, bytes]]) -> dict:
                 "of_rate_x": _F32(tel.of_rate_x),
                 "sys_health": np.uint32(tel.sys_health),
                 "state": np.uint8(ST_HOVER if airborne else ST_IDLE),
+                # fusion/SLAM keys (replay/fusion.fusion_arrays layout)
+                "scan_ms": np.int64(f["t_ms"]),
+                "of_rate_y": _F32(tel.of_rate_y),
+                "rf_m": _F32(tel.rf_m if tel.have_rf else np.nan),
             })
     if not rows:
         raise ValueError("capture contains no valid SCAN frames")
-    return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    out = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    out["of_q"] = out["of_q"].astype(np.int32)  # fusion expects int32
+    return out
 
 
 def replay_wirecap(path_or_records, cfg: PipelineConfig = UL_PROFILE,

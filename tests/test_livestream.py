@@ -79,3 +79,24 @@ def test_wirecap_chunked_arbitrarily_on_hub_channel():
 def test_wirecap_no_scans_raises():
     with pytest.raises(ValueError, match="no valid SCAN"):
         wirecap_to_frames([(CH_FC, 0, b"\xfe")])
+
+
+def test_wirecap_drives_fusion_and_slam():
+    """The capture carries everything the EKF fusion and SLAM pipelines
+    need — the full offline stack runs from raw bytes."""
+    from micro_quad_slam_tpu.replay.fusion import replay_fusion
+    from micro_quad_slam_tpu.slam import slam_replay
+
+    log = _sanitize(synth_room_scanlog(n_frames=40, seed=11,
+                                       yaw_rate_dps=0.0, noise_mm=4.0,
+                                       with_flow=True))
+    frames = wirecap_to_frames(scanlog_to_wirecap(log))
+    assert frames["x_m"].shape[0] == 40
+
+    state, track = replay_fusion(frames)
+    assert np.isfinite(np.asarray(track["x"])).all()
+
+    batched = {k: v[None] for k, v in frames.items()}
+    res = slam_replay(batched, UL_PROFILE, kf_every=10, gn_iters=4)
+    grid = np.asarray(res.grid)[0]
+    assert (grid > 10).sum() > 20  # walls mapped from raw bytes
