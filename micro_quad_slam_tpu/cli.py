@@ -1,8 +1,9 @@
 """mqs — command line interface.
 
-  mqs replay  --log scanlog.bin [--out map.npy] [--profile ul|cl] [--ascii]
-  mqs fusion  --log scanlog.bin [--out track.csv]
-  mqs slam    --log scanlog.bin [--out map.npy] [--kf-every 10]
+  mqs replay  --log scanlog.bin | --wirecap cap.bin  [--kernel ...]
+              [--save-state CK] [--resume CK] [--out map.npy] [--ascii]
+  mqs fusion  --log scanlog.bin | --wirecap cap.bin  [--out track.csv]
+  mqs slam    --log scanlog.bin | --wirecap cap.bin  [--kf-every 10]
   mqs sim     [--quads 16] [--seconds 20] [--out-prefix sim]
   mqs synth   --out scanlog.bin [--frames 200] [--path circle|hover|line]
   mqs bench   [replay|swarm]
