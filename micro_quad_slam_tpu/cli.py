@@ -203,11 +203,23 @@ def cmd_sim(args) -> int:
     world = make_world(B, room=(-3.5, -3.5, 3.5, 3.5),
                        obstacles=[(1.5, -0.5, 2.5, 0.5)])
     st = sim_init(B, jax.random.PRNGKey(args.seed), spread_m=0.5)
+    if args.resume:
+        from micro_quad_slam_tpu.utils.checkpoint import (
+            latest_checkpoint, restore_checkpoint)
+        path = latest_checkpoint(args.resume) or args.resume
+        st = jax.tree_util.tree_map(
+            lambda like, v: jax.numpy.asarray(v, like.dtype),
+            st, restore_checkpoint(path, like=st))
+        print(f"resuming sim from {path}")
     steps = int(args.seconds * 1000 / args.dt_ms)
     record = bool(args.out_prefix) or bool(args.emit_mavlink)
     st, diag = sim_run(st, world, steps, _profile(args.profile),
                        dt_ms=args.dt_ms, record=record,
                        vision_flow=args.vision_flow)
+    if args.save_state:
+        from micro_quad_slam_tpu.utils.checkpoint import save_checkpoint
+        p = save_checkpoint(args.save_state, st, step=steps)
+        print(f"sim state -> {p}")
     states = np.asarray(diag["state"])[-1]
     from collections import Counter
     mix = Counter(STATE_NAMES_UL[s] for s in states)
@@ -345,6 +357,10 @@ def main(argv=None) -> int:
     pm.add_argument("--out-prefix")
     pm.add_argument("--emit-mavlink",
                     help="write quad 0's MAVLink command stream to a file")
+    pm.add_argument("--save-state", help="checkpoint the final sim state "
+                                         "(continue with --resume)")
+    pm.add_argument("--resume", help="checkpoint dir/path of a previous "
+                                     "sim run to continue from")
     pm.add_argument("--vision-flow", action="store_true",
                     help="localize with REAL pyramidal LK optical flow on "
                          "rendered downward-camera frames instead of the "

@@ -227,13 +227,3 @@ def profile_trace(logdir: Optional[str]):
     import jax
     with jax.profiler.trace(logdir):
         yield
-
-
-def sim_to_scanlog(sim_diag: dict, scan_period_ms: int = 100):
-    """Placeholder hook: the simulator currently surfaces light
-    diagnostics; full in-sim scanrec capture lands with the streaming
-    recorder (sim scans are synthesized on device and can be re-derived
-    deterministically from the seed)."""
-    raise NotImplementedError(
-        "use micro_quad_slam_tpu.sim.synth_room_scanlog to produce "
-        "reference-format logs; in-sim capture is planned")

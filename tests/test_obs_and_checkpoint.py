@@ -137,3 +137,30 @@ def test_replay_checkpoint_resume_bit_exact(tmp_path):
                                       np.asarray(st_full.origin_x))
         np.testing.assert_array_equal(np.asarray(st2.filt),
                                       np.asarray(st_full.filt))
+
+
+def test_sim_checkpoint_resume_bit_exact(tmp_path):
+    """Checkpoint-restart of a closed-loop sim (mqs sim --save-state /
+    --resume): running N steps, saving, restoring, and running N more
+    bit-matches an unbroken 2N-step run."""
+    import jax
+    import numpy as np
+    from micro_quad_slam_tpu.models.simulator import (
+        make_world, sim_init, sim_run)
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    B, N = 2, 40
+    world = make_world(B, room=(-3.5, -3.5, 3.5, 3.5))
+    st0 = sim_init(B, jax.random.PRNGKey(7), spread_m=0.5)
+
+    st_full, _ = sim_run(st0, world, 2 * N, UL_PROFILE, dt_ms=20)
+    st_half, _ = sim_run(st0, world, N, UL_PROFILE, dt_ms=20)
+    path = save_checkpoint(str(tmp_path / "sim_ck"), st_half, step=N)
+    st_restored = jax.tree_util.tree_map(
+        lambda like, v: np.asarray(v, np.asarray(like).dtype),
+        st_half, restore_checkpoint(path, like=st_half))
+    st_resumed, _ = sim_run(st_restored, world, N, UL_PROFILE, dt_ms=20)
+
+    for a, b in zip(jax.tree_util.tree_leaves(st_resumed),
+                    jax.tree_util.tree_leaves(st_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
