@@ -260,7 +260,7 @@ class GoldenBehavior:
             return False
         if self._of_fresh(tm) and tm.of_q < 50:
             return False
-        if not math.isnan(self.alt_est_m) and self.alt_est_m < 0.12:
+        if not math.isnan(self.alt_est_m) and F32(self.alt_est_m) < F32(0.12):
             return False
         return True
 
@@ -368,9 +368,10 @@ class GoldenBehavior:
             self.alt_src = ALT_GND
         else:
             self.alt_src = ALT_NONE
-        if not math.isnan(self.alt_est_m) and self.alt_est_m >= self.ceil_m:
+        if not math.isnan(self.alt_est_m) and F32(self.alt_est_m) >= F32(self.ceil_m):
             self.ceiling_active = True
-        if not math.isnan(self.alt_est_m) and self.alt_est_m <= (self.ceil_m - 0.10):
+        if (not math.isnan(self.alt_est_m)
+                and F32(self.alt_est_m) <= F32(self.ceil_m) - F32(0.10)):
             self.ceiling_active = False
 
     def _tof_filter(self, tm: Telemetry) -> None:
@@ -391,13 +392,13 @@ class GoldenBehavior:
         if not self._batt_fresh(tm):
             return
         if not tm.fc_armed:
-            if tm.want_arm and tm.batt_vpc < 3.70:
+            if tm.want_arm and F32(tm.batt_vpc) < F32(3.70):
                 if tm.t_ms - self.batt_last_warn_ms > 1200:
                     self.batt_last_warn_ms = tm.t_ms
             self.batt_low_since_ms = 0
             self.batt_emerg_since_ms = 0
             return
-        if tm.batt_vpc < 3.35:
+        if F32(tm.batt_vpc) < F32(3.35):
             if self.batt_emerg_since_ms == 0:
                 self.batt_emerg_since_ms = tm.t_ms
             if (tm.t_ms - self.batt_emerg_since_ms) > 1200:
@@ -406,7 +407,7 @@ class GoldenBehavior:
                     self._enter(tm, ST_LANDING)
         else:
             self.batt_emerg_since_ms = 0
-        if tm.batt_vpc < 3.55:
+        if F32(tm.batt_vpc) < F32(3.55):
             if self.batt_low_since_ms == 0:
                 self.batt_low_since_ms = tm.t_ms
             if (tm.t_ms - self.batt_low_since_ms) > 1200:
@@ -419,16 +420,16 @@ class GoldenBehavior:
     def _arm_allowed_by_battery(self, tm: Telemetry) -> bool:
         if not self._batt_fresh(tm):
             return True
-        return tm.batt_vpc >= 3.70
+        return F32(tm.batt_vpc) >= F32(3.70)
 
     def _takeoff_off_ground(self, tm: Telemetry) -> bool:
         # (uav_local_nav.c:1839-1845)
         rf_fresh = self._rf_fresh(tm)
         if tm.have_ext and tm.landed_state != LANDED_ON_GROUND:
             return True
-        if rf_fresh and not math.isnan(tm.rf_m) and tm.rf_m > 0.15:
+        if rf_fresh and not math.isnan(tm.rf_m) and F32(tm.rf_m) > F32(0.15):
             return True
-        if not math.isnan(self.alt_est_m) and self.alt_est_m > 0.15:
+        if not math.isnan(self.alt_est_m) and F32(self.alt_est_m) > F32(0.15):
             return True
         return False
 
@@ -450,9 +451,9 @@ class GoldenBehavior:
         r = 0.0 if math.isnan(self.tof_filt[D_RIGHT]) else self.tof_filt[D_RIGHT]
         l = 0.0 if math.isnan(self.tof_filt[D_LEFT]) else self.tof_filt[D_LEFT]
         b = 0.0 if math.isnan(self.tof_filt[D_BACK]) else self.tof_filt[D_BACK]
-        sR = tm.frontier_r + int(r * 5.0)
-        sL = tm.frontier_l + int(l * 5.0)
-        sB = tm.frontier_b + int(b * 5.0)
+        sR = tm.frontier_r + int(F32(r) * F32(5.0))
+        sL = tm.frontier_l + int(F32(l) * F32(5.0))
+        sB = tm.frontier_b + int(F32(b) * F32(5.0))
         best_dir, best = D_RIGHT, sR
         if sL > best:
             best, best_dir = sL, D_LEFT
@@ -560,7 +561,7 @@ class GoldenBehavior:
             out.cmd_kind = CMD_VEL_NED
             out.cmd = (0.0, 0.0, 0.15, 0.0)
             near_ground = (not math.isnan(self.alt_est_m)
-                           and self.alt_est_m < 0.10)
+                           and F32(self.alt_est_m) < F32(0.10))
             if near_ground or (tm.have_ext
                                and tm.landed_state == LANDED_ON_GROUND):
                 self._enter(tm, ST_DISARMING)
@@ -657,7 +658,8 @@ class GoldenBehavior:
             return
 
         if (not self._z_ok(tm) and not self.takeoff_started
-                and not math.isnan(self.alt_est_m) and self.alt_est_m < 0.10
+                and not math.isnan(self.alt_est_m)
+                and F32(self.alt_est_m) < F32(0.10)
                 and (t - self.takeoff_sent_ms) > 1200):
             self._enter(tm, ST_LIFTOFF_ASSIST)
             return
@@ -667,7 +669,8 @@ class GoldenBehavior:
             return
 
         if (not math.isnan(self.alt_est_m)
-                and self.alt_est_m >= (self.takeoff_target_m - 0.05)):
+                and F32(self.alt_est_m)
+                >= F32(self.takeoff_target_m) - F32(0.05)):
             self.yaw_target_valid = tm.have_att
             self.yaw_target_deg = tm.yaw_deg if tm.have_att else 0.0
             self._enter(tm, ST_HOVER)
@@ -695,10 +698,10 @@ class GoldenBehavior:
         if (not self.assist_warned and self.assist_baseline_set
                 and (t - self.assist_start_ms) > 400 and servo_fresh):
             if (not math.isnan(self.assist_motor_avg0)
-                    and (tm.motor_avg - self.assist_motor_avg0) < 40.0):
+                    and F32(tm.motor_avg) - F32(self.assist_motor_avg0) < F32(40.0)):
                 self.assist_warned = True
 
-        if not math.isnan(self.alt_est_m) and self.alt_est_m > 0.28:
+        if not math.isnan(self.alt_est_m) and F32(self.alt_est_m) > F32(0.28):
             out.rc_release = True
             self._emit_mode(tm, out, MODE_GUIDED)
             out.req_takeoff = self.takeoff_target_m
@@ -759,7 +762,7 @@ class GoldenBehavior:
             out.cmd = (0.0, 0.0, 0.0, self._yaw_hold_rate(tm))
             return
         f = self.tof_filt[D_FRONT]
-        if not math.isnan(f) and f < self.front_stop_m:
+        if not math.isnan(f) and F32(f) < F32(self.front_stop_m):
             self.turning_dir_forced = False
             self._enter(tm, ST_TURNING)
             return
@@ -778,7 +781,7 @@ class GoldenBehavior:
                 best, best_dir = sB, D_BACK
             if best_dir != D_FRONT and best > (sF + 35):
                 dist_ok = self.tof_filt[best_dir]
-                if not math.isnan(dist_ok) and dist_ok > self.side_safe_m:
+                if not math.isnan(dist_ok) and F32(dist_ok) > F32(self.side_safe_m):
                     self.turning_dir_forced = True
                     self.forced_turn_dir = best_dir
                     self._enter(tm, ST_TURNING)

@@ -144,12 +144,12 @@ class GoldenBehaviorCL(GoldenBehavior):
             airborne_hint = (tm.have_ext
                              and tm.landed_state != LANDED_ON_GROUND)
             if (lpos_fresh and not math.isnan(tm.lpos_alt_filt)
-                    and tm.lpos_alt_filt > 0.20):
+                    and F32(tm.lpos_alt_filt) > F32(0.20)):
                 airborne_hint = True
-            if airborne_hint and rf < 0.05:
+            if airborne_hint and F32(rf) < F32(0.05):
                 rf_ok = False
             if (lpos_fresh and not math.isnan(tm.lpos_alt_filt)
-                    and abs(rf - tm.lpos_alt_filt) > 0.80):
+                    and abs(F32(rf) - F32(tm.lpos_alt_filt)) > F32(0.80)):
                 rf_ok = False
             if rf_ok:
                 new_alt, new_src = rf, ALT_RF
@@ -161,10 +161,10 @@ class GoldenBehaviorCL(GoldenBehavior):
         self.alt_est_m = new_alt
         self.alt_src = new_src
 
-        if not math.isnan(self.alt_max_m) and self.alt_max_m >= self.ceil_m:
+        if not math.isnan(self.alt_max_m) and F32(self.alt_max_m) >= F32(self.ceil_m):
             self.ceiling_active = True
         if (not math.isnan(self.alt_max_m)
-                and self.alt_max_m <= (self.ceil_m - 0.10)):
+                and F32(self.alt_max_m) <= F32(self.ceil_m) - F32(0.10)):
             self.ceiling_active = False
 
     # -------- gates (clean:972-996) --------
@@ -177,20 +177,21 @@ class GoldenBehaviorCL(GoldenBehavior):
             return False
         if self._of_fresh(tm) and tm.of_q < 30:
             return False
-        if not math.isnan(self.alt_max_m) and self.alt_max_m < 0.12:
+        if not math.isnan(self.alt_max_m) and F32(self.alt_max_m) < F32(0.12):
             return False
         return True
 
     def _batt_valid(self, tm: Telemetry) -> bool:
         # batt_valid is maintained by the telemetry adapter in the C
         # (clean:1247-1301); here: fresh + vpc in the validity window
-        return (self._batt_fresh(tm) and 1.0 <= tm.batt_vpc <= 6.0
-                and 2.5 <= tm.batt_vpc <= 4.8)
+        return (self._batt_fresh(tm)
+                and F32(1.0) <= F32(tm.batt_vpc) <= F32(6.0)
+                and F32(2.5) <= F32(tm.batt_vpc) <= F32(4.8))
 
     def _arm_allowed_by_battery(self, tm: Telemetry) -> bool:
         if not self._batt_valid(tm):
             return True  # fail-open (clean:2122-2125)
-        return tm.batt_vpc >= 3.70
+        return F32(tm.batt_vpc) >= F32(3.70)
 
     def _battery_tick(self, tm: Telemetry) -> None:
         # clean:2127-2175 — flags only, LANDING suppressed
@@ -198,20 +199,20 @@ class GoldenBehaviorCL(GoldenBehavior):
             return
         vpc = tm.batt_vpc
         if not tm.fc_armed:
-            if vpc < 3.70 and tm.want_arm:
+            if F32(vpc) < F32(3.70) and tm.want_arm:
                 if tm.t_ms - self.batt_last_warn_ms > 1200:
                     self.batt_last_warn_ms = tm.t_ms
             self.batt_low_since_ms = 0
             self.batt_emerg_since_ms = 0
             return
-        if vpc < 3.35:
+        if F32(vpc) < F32(3.35):
             if self.batt_emerg_since_ms == 0:
                 self.batt_emerg_since_ms = tm.t_ms
             if (tm.t_ms - self.batt_emerg_since_ms) > 1200:
                 self.pending_kf |= CL_KF_BATT_EMERG
         else:
             self.batt_emerg_since_ms = 0
-        if vpc < 3.55:
+        if F32(vpc) < F32(3.55):
             if self.batt_low_since_ms == 0:
                 self.batt_low_since_ms = tm.t_ms
             if (tm.t_ms - self.batt_low_since_ms) > 1200:
@@ -247,11 +248,11 @@ class GoldenBehaviorCL(GoldenBehavior):
         return False
 
     def _hover_target_z_down(self) -> float:
-        z_up = self.hover_target_m
-        max_up = self.ceil_m - 0.05
-        if max_up < 0.10:
-            max_up = 0.10
-        return -min(z_up, max_up)
+        z_up = F32(self.hover_target_m)
+        max_up = F32(self.ceil_m) - F32(0.05)
+        if max_up < F32(0.10):
+            max_up = F32(0.10)
+        return float(-min(z_up, max_up))
 
     def _init_hover_targets_on_ground(self, tm: Telemetry) -> None:
         self.hover_xy_locked = False
@@ -270,9 +271,9 @@ class GoldenBehaviorCL(GoldenBehavior):
         if tm.have_ext and tm.landed_state != LANDED_ON_GROUND:
             return True
         if (self._rf_fresh(tm) and not math.isnan(tm.rf_m)
-                and tm.rf_m > 0.05):
+                and F32(tm.rf_m) > F32(0.05)):
             return True
-        if not math.isnan(self.alt_max_m) and self.alt_max_m > 0.05:
+        if not math.isnan(self.alt_max_m) and F32(self.alt_max_m) > F32(0.05):
             return True
         return False
 
@@ -439,7 +440,7 @@ class GoldenBehaviorCL(GoldenBehavior):
             out.cmd_kind = CMD_VEL_NED
             out.cmd = (0.0, 0.0, 0.15, 0.0)
             near_ground = (not math.isnan(self.alt_max_m)
-                           and self.alt_max_m < 0.10)
+                           and F32(self.alt_max_m) < F32(0.10))
             if near_ground or (tm.have_ext
                                and tm.landed_state == LANDED_ON_GROUND):
                 self._enter(tm, CL_DISARMING)
@@ -460,7 +461,7 @@ class GoldenBehaviorCL(GoldenBehavior):
         if (not self.hover_prelock_valid and self._lpos_fresh(tm)
                 and math.isfinite(tm.lpos_x) and math.isfinite(tm.lpos_y)
                 and not math.isnan(self.alt_max_m)
-                and self.alt_max_m > 0.15):
+                and F32(self.alt_max_m) > F32(0.15)):
             self.hover_prelock_x = tm.lpos_x
             self.hover_prelock_y = tm.lpos_y
             self.hover_prelock_valid = True
@@ -487,7 +488,7 @@ class GoldenBehaviorCL(GoldenBehavior):
         off_ground = self._takeoff_off_ground(tm)
         alt_rising = (not math.isnan(self.takeoff_alt0)
                       and not math.isnan(self.alt_max_m)
-                      and (self.alt_max_m - self.takeoff_alt0) > 0.05)
+                      and F32(self.alt_max_m) - F32(self.takeoff_alt0) > F32(0.05))
 
         if (not self.takeoff_started and not self.att_ramp_active
                 and self.takeoff_sent and (t - self.takeoff_sent_ms) > 700
@@ -530,7 +531,7 @@ class GoldenBehaviorCL(GoldenBehavior):
         if not self.takeoff_started and not self.att_ramp_active:
             inferred_air = (
                 (tm.have_ext and tm.landed_state != LANDED_ON_GROUND)
-                or (not math.isnan(self.alt_max_m) and self.alt_max_m > 0.05)
+                or (not math.isnan(self.alt_max_m) and F32(self.alt_max_m) > F32(0.05))
                 or (servo_fresh and mot_avg > 1300.0))
             if inferred_air:
                 self.takeoff_started = True
@@ -554,7 +555,8 @@ class GoldenBehaviorCL(GoldenBehavior):
             return
 
         if (not math.isnan(self.alt_max_m)
-                and self.alt_max_m >= (self.takeoff_target_m - 0.05)):
+                and F32(self.alt_max_m)
+                >= F32(self.takeoff_target_m) - F32(0.05)):
             if not self.yaw_target_valid and tm.have_att:
                 self.yaw_target_valid = True
                 self.yaw_target_deg = tm.yaw_deg
@@ -587,7 +589,7 @@ class GoldenBehaviorCL(GoldenBehavior):
         if (not self.assist_warned and self.assist_baseline_set
                 and (t - self.assist_start_ms) > 250 and servo_fresh
                 and not math.isnan(self.assist_motor_avg0)
-                and (tm.motor_avg - self.assist_motor_avg0) < 15.0):
+                and F32(tm.motor_avg) - F32(self.assist_motor_avg0) < F32(15.0)):
             self.assist_warned = True
 
         if self._takeoff_off_ground(tm):

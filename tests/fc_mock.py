@@ -248,3 +248,32 @@ def run_scenario(sc: Scenario, n_ticks: int = 1200, machine=None):
         fc.apply_outputs(t, out)
         fc.tick(t)
     return telems, outs
+
+
+def random_scenario(seed: int) -> Scenario:
+    """Randomized anomaly schedule for trace-equality fuzzing: every knob
+    of the mock FC (takeoff rejection, spool failure, battery sag, sensor
+    dropouts, health glitches, link loss, mid-flight kill) drawn from a
+    seeded RNG so hundreds of schedules exercise timer/gate interactions
+    the hand-built scenarios miss."""
+    rng = np.random.default_rng(1_000_003 * seed + 17)
+    kw = {"seed": seed, "arm_at_ms": int(rng.integers(400, 3000)),
+          "batt_v0": float(rng.uniform(7.4, 8.4)),
+          "front_wall_m": float(rng.uniform(0.7, 4.0))}
+    if rng.random() < 0.30:
+        kw["disarm_at_ms"] = int(rng.integers(5000, 16000))
+    if rng.random() < 0.25:
+        kw["reject_takeoff"] = True
+    if rng.random() < 0.25:
+        kw["no_spool"] = True
+        kw["ramp_works"] = bool(rng.random() < 0.5)
+    if rng.random() < 0.30:
+        kw["batt_sag"] = float(rng.uniform(0.01, 0.10))
+    for name in ("flow_dropout_ms", "sys_glitch_ms", "link_loss_ms",
+                 "lpos_dropout_ms", "rf_dropout_ms"):
+        if rng.random() < 0.30:
+            start = int(rng.integers(3000, 13000))
+            kw[name] = (start, start + int(rng.integers(200, 3500)))
+    if rng.random() < 0.20:
+        kw["kill_at_ms"] = int(rng.integers(4000, 14000))
+    return Scenario(**kw)
