@@ -261,8 +261,11 @@ def cmd_synth(args) -> int:
     if args.emit_wirecap:
         from micro_quad_slam_tpu.formats.wirecap import write_wirecap
         from micro_quad_slam_tpu.replay.livestream import scanlog_to_wirecap
-        n = write_wirecap(args.emit_wirecap, scanlog_to_wirecap(log))
-        print(f"dual-UART capture ({n} records) -> {args.emit_wirecap}")
+        ver = 2 if args.mav2 else 1
+        n = write_wirecap(args.emit_wirecap,
+                          scanlog_to_wirecap(log, mav_version=ver))
+        print(f"dual-UART capture ({n} records, MAVLink v{ver}) -> "
+              f"{args.emit_wirecap}")
     return 0
 
 
@@ -380,6 +383,9 @@ def main(argv=None) -> int:
     py.add_argument("--seed", type=int, default=0)
     py.add_argument("--emit-wirecap", help="also write the flight as a raw "
                                            "dual-UART capture")
+    py.add_argument("--mav2", action="store_true",
+                    help="emit the wirecap FC channel as MAVLink v2 "
+                         "(0xFD framing, like a real ArduPilot FC)")
     py.set_defaults(fn=cmd_synth)
 
     pb = sub.add_parser("bench", help="run the throughput benchmark")

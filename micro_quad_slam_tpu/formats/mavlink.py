@@ -1,4 +1,4 @@
-"""Minimal MAVLink v1 wire codec for the vehicle-interface layer
+"""Minimal MAVLink v1+v2 wire codec for the vehicle-interface layer
 (SURVEY.md §2D): the exact message set the reference companion sends to
 and negotiates with the flight controller (uav_local_nav.c:647-892,
 1016-1034; clean RCMAP discovery clean:544-586).
@@ -14,9 +14,19 @@ SET_MESSAGE_INTERVAL stream negotiation, and PARAM_REQUEST_READ for
 RCMAP_*.  A decoder for the same set supports loopback tests and replay
 of captured command streams.
 
-Wire format (v1): 0xFE len seq sys comp msgid payload crc16(X.25 over
-len..payload + per-message CRC_EXTRA).  Payload fields are serialized in
-type-size-descending order, as generated MAVLink dialects do.
+Wire formats (the reference's mavlink_parse_char accepts both,
+uav_local_nav.c:48, 1263-1297; real ArduPilot FCs emit v2 by default):
+
+  v1: 0xFE len seq sys comp msgid payload crc16(X.25 over len..payload
+      + per-message CRC_EXTRA)
+  v2: 0xFD len incompat compat seq sys comp msgid[3 LE] payload crc16
+      (same CRC recipe over len..payload + CRC_EXTRA); trailing zero
+      payload bytes are truncated on the wire and zero-extended on
+      decode; a 13-byte signature follows the CRC when incompat bit 0
+      is set (accepted and skipped here — signing is not validated).
+
+Payload fields are serialized in type-size-descending order, as
+generated MAVLink dialects do.
 """
 
 from __future__ import annotations
@@ -24,7 +34,10 @@ from __future__ import annotations
 import struct
 from typing import Iterator, Tuple
 
-STX = 0xFE
+STX = 0xFE        # MAVLink v1 magic
+STX2 = 0xFD       # MAVLink v2 magic
+_IFLAG_SIGNED = 0x01
+_SIG_LEN = 13
 
 # (msgid, crc_extra, struct format, field names) — fields in wire order
 _MSGS = {
@@ -148,12 +161,18 @@ def x25_crc(data: bytes, seed: int = 0xFFFF) -> int:
 
 
 class MavEncoder:
-    """Stateful v1 encoder (per-link sequence counter)."""
+    """Stateful encoder (per-link sequence counter).  version=1 emits the
+    classic 0xFE framing; version=2 emits 0xFD framing with trailing-zero
+    payload truncation, like an ArduPilot FC."""
 
-    def __init__(self, sysid: int = 255, compid: int = 191):
+    def __init__(self, sysid: int = 255, compid: int = 191,
+                 version: int = 1):
         # MAV_COMP_ID_ONBOARD_COMPUTER = 191 (uav_local_nav.c:393)
+        if version not in (1, 2):
+            raise ValueError(f"MAVLink version must be 1 or 2: {version}")
         self.sysid = sysid
         self.compid = compid
+        self.version = version
         self.seq = 0
 
     def pack(self, name: str, **fields) -> bytes:
@@ -165,10 +184,17 @@ class MavEncoder:
                 v = v.encode()
             vals.append(v)
         payload = struct.pack(fmt, *vals)
-        hdr = bytes([len(payload), self.seq & 0xFF, self.sysid,
-                     self.compid, msgid])
-        crc = x25_crc(hdr + payload + bytes([crc_extra]))
+        seq = self.seq & 0xFF
         self.seq = (self.seq + 1) & 0xFF
+        if self.version == 2:
+            trimmed = payload.rstrip(b"\x00") or b"\x00"
+            hdr = bytes([len(trimmed), 0, 0, seq, self.sysid, self.compid,
+                         msgid & 0xFF, (msgid >> 8) & 0xFF,
+                         (msgid >> 16) & 0xFF])
+            crc = x25_crc(hdr + trimmed + bytes([crc_extra]))
+            return bytes([STX2]) + hdr + trimmed + struct.pack("<H", crc)
+        hdr = bytes([len(payload), seq, self.sysid, self.compid, msgid])
+        crc = x25_crc(hdr + payload + bytes([crc_extra]))
         return bytes([STX]) + hdr + payload + struct.pack("<H", crc)
 
     # ---- the reference's senders (uav_local_nav.c:647-892) ----
@@ -291,23 +317,44 @@ class MavEncoder:
 
 
 def decode_mavlink_stream(data: bytes) -> Iterator[Tuple[str, dict]]:
-    """Parse a v1 byte stream; yields (msg_name, fields) for known
-    messages; unknown msgids are skipped by length; CRC failures resync."""
+    """Parse a mixed v1/v2 byte stream (the reference's parse loop
+    accepts both, uav_local_nav.c:1263-1297); yields (msg_name, fields)
+    for known messages; unknown msgids and CRC failures resync
+    byte-wise.  v2 truncated payloads are zero-extended; signed v2
+    frames are accepted with the signature skipped."""
     i = 0
     n = len(data)
     while i < n:
-        if data[i] != STX:
+        magic = data[i]
+        if magic == STX:
+            if i + 6 > n:
+                break
+            plen = data[i + 1]
+            end = i + 6 + plen + 2
+            if end > n:
+                break
+            msgid = data[i + 5]
+            body = data[i + 1:i + 6 + plen]
+            sysid, compid, seq = data[i + 3], data[i + 4], data[i + 2]
+            sig_len = 0
+        elif magic == STX2:
+            if i + 10 > n:
+                break
+            plen = data[i + 1]
+            end = i + 10 + plen + 2
+            if end > n:
+                break
+            msgid = (data[i + 7] | (data[i + 8] << 8)
+                     | (data[i + 9] << 16))
+            body = data[i + 1:i + 10 + plen]
+            sysid, compid, seq = data[i + 5], data[i + 6], data[i + 4]
+            sig_len = _SIG_LEN if data[i + 2] & _IFLAG_SIGNED else 0
+            if end + sig_len > n:
+                break
+        else:
             i += 1
             continue
-        if i + 6 > n:
-            break
-        plen = data[i + 1]
-        end = i + 6 + plen + 2
-        if end > n:
-            break
-        msgid = data[i + 5]
-        body = data[i + 1:i + 6 + plen]
-        crc_rx = struct.unpack("<H", data[i + 6 + plen:end])[0]
+        crc_rx = struct.unpack("<H", data[end - 2:end])[0]
         known = _BY_ID.get(msgid)
         if known is None:
             i += 1  # unknown crc_extra: resync byte-wise
@@ -316,13 +363,21 @@ def decode_mavlink_stream(data: bytes) -> Iterator[Tuple[str, dict]]:
         if x25_crc(body + bytes([crc_extra])) != crc_rx:
             i += 1
             continue
-        vals = struct.unpack(fmt, bytes(body[5:]))
+        hdr_len = 5 if magic == STX else 9
+        payload = bytes(body[hdr_len:])
+        full = struct.calcsize(fmt)
+        if magic == STX2 and len(payload) < full:
+            payload = payload + b"\x00" * (full - len(payload))
+        if len(payload) != full:
+            i += 1
+            continue
+        vals = struct.unpack(fmt, payload)
         fields = dict(zip(names, vals))
-        fields["_sysid"] = data[i + 3]
-        fields["_compid"] = data[i + 4]
-        fields["_seq"] = data[i + 2]
+        fields["_sysid"] = sysid
+        fields["_compid"] = compid
+        fields["_seq"] = seq
         yield name, fields
-        i = end
+        i = end + sig_len
 
 
 def encode_command_stream(enc: MavEncoder, t_ms: int, out: dict,

@@ -92,7 +92,7 @@ def replay_wirecap(path_or_records, cfg: PipelineConfig = UL_PROFILE,
     return state, outs, frames["x_m"].shape[0]
 
 
-def scanlog_to_wirecap(log) -> List[Tuple[int, int, bytes]]:
+def scanlog_to_wirecap(log, mav_version: int = 1) -> List[Tuple[int, int, bytes]]:
     """Render a scanlog as the dual-UART capture that would have
     produced it: per scan, one FC-channel record with the telemetry the
     scanrec latched (HEARTBEAT at ~1 Hz, then ATTITUDE /
@@ -103,7 +103,7 @@ def scanlog_to_wirecap(log) -> List[Tuple[int, int, bytes]]:
     from micro_quad_slam_tpu.formats.mavlink import MavEncoder
     from micro_quad_slam_tpu.formats.scanframe import encode_scan_frame
 
-    enc = MavEncoder(sysid=1, compid=1)   # the FC's ids
+    enc = MavEncoder(sysid=1, compid=1, version=mav_version)  # FC's ids
     records: List[Tuple[int, int, bytes]] = []
     last_hb = -10 ** 9
     n = len(log)

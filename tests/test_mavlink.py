@@ -137,3 +137,86 @@ def test_arm_remote_hold_and_tap():
     assert decode_arm_msg(b"\x00" * 10) is None
     assert decode_arm_msg(b"\xc3\x05" + b"\x00" * 8) is None
     assert decode_arm_msg(b"short") is None
+
+
+# ----------------------------- MAVLink v2 --------------------------------
+
+def test_v2_roundtrip_all_message_types():
+    """Every message in the codec table roundtrips through v2 framing
+    (0xFD, 3-byte msgid, trailing-zero truncation) with fields equal to
+    the v1 decode (uav_local_nav.c:48,1263-1297 accepts both)."""
+    import struct as _struct
+    from micro_quad_slam_tpu.formats.mavlink import _MSGS
+
+    rng = np.random.default_rng(3)
+    enc1 = MavEncoder(sysid=7, compid=1, version=1)
+    enc2 = MavEncoder(sysid=7, compid=1, version=2)
+    for name, (msgid, _, fmt, names) in _MSGS.items():
+        fields = {}
+        for n, ch in zip(names, [c for c in fmt if c.isalpha()]):
+            if ch == "s":
+                fields[n] = "x"
+            elif ch == "f":
+                fields[n] = float(np.float32(rng.uniform(-3, 3)))
+            else:
+                fields[n] = int(rng.integers(0, 100))
+        f1 = enc1.pack(name, **fields)
+        f2 = enc2.pack(name, **fields)
+        assert f2[0] == 0xFD
+        assert len(f2) <= len(f1) + 4  # truncation never inflates much
+        (n1, d1), = decode_mavlink_stream(f1)
+        (n2, d2), = decode_mavlink_stream(f2)
+        assert n1 == n2 == name
+        d1.pop("_seq"), d2.pop("_seq")
+        assert d1 == d2, name
+
+
+def test_v2_trailing_zero_truncation():
+    """A payload ending in zeros is shorter on the wire in v2 and
+    zero-extends back on decode."""
+    enc = MavEncoder(version=2)
+    # COMMAND_LONG with all-zero tail: only param1 nonzero
+    frame = enc.pack("COMMAND_LONG", param1=1.0, command=0)
+    full = 33  # v1 payload size of COMMAND_LONG
+    assert len(frame) < 10 + full + 2
+    (name, f), = decode_mavlink_stream(frame)
+    assert name == "COMMAND_LONG"
+    assert f["param1"] == 1.0 and f["command"] == 0 and f["param7"] == 0.0
+
+
+def test_mixed_v1_v2_stream_decodes_in_order():
+    enc1 = MavEncoder(sysid=1, compid=1, version=1)
+    enc2 = MavEncoder(sysid=1, compid=1, version=2)
+    buf = (enc1.heartbeat() + enc2.pack("ATTITUDE", time_boot_ms=5, yaw=1.0)
+           + enc1.arm(1, 1)
+           + enc2.pack("RANGEFINDER", distance=0.42, voltage=3.3))
+    names = [n for n, _ in decode_mavlink_stream(buf)]
+    assert names == ["HEARTBEAT", "ATTITUDE", "COMMAND_LONG", "RANGEFINDER"]
+
+
+def test_v2_signed_frame_signature_skipped():
+    """A signed v2 frame (incompat bit 0) is accepted and its 13-byte
+    signature is skipped so the next frame still decodes."""
+    import struct as _struct
+    from micro_quad_slam_tpu.formats.mavlink import x25_crc, _MSGS
+
+    enc = MavEncoder(sysid=1, compid=1, version=2)
+    frame = bytearray(enc.pack("ATTITUDE", time_boot_ms=9, yaw=0.5))
+    frame[2] |= 0x01  # set MAVLINK_IFLAG_SIGNED
+    crc_extra = _MSGS["ATTITUDE"][1]
+    body = bytes(frame[1:-2])
+    frame[-2:] = _struct.pack("<H", x25_crc(body + bytes([crc_extra])))
+    signed = bytes(frame) + b"\x5a" * 13
+    buf = signed + enc.pack("RANGEFINDER", distance=1.0, voltage=0.1)
+    msgs = list(decode_mavlink_stream(buf))
+    assert [n for n, _ in msgs] == ["ATTITUDE", "RANGEFINDER"]
+    assert msgs[0][1]["time_boot_ms"] == 9
+
+
+def test_v2_corrupt_frame_resync():
+    enc = MavEncoder(version=2)
+    a = bytearray(enc.pack("ATTITUDE", time_boot_ms=1, yaw=1.0))
+    a[11] ^= 0xFF
+    b = enc.pack("RANGEFINDER", distance=2.0, voltage=0.0)
+    msgs = list(decode_mavlink_stream(bytes(a) + b))
+    assert [n for n, _ in msgs] == ["RANGEFINDER"]
