@@ -137,12 +137,15 @@ def cmd_fusion(args) -> int:
     if args.out:
         scan_ms = np.asarray(frames["scan_ms"])
         with open(args.out, "w") as f:
-            f.write("t_ms,x,y,vx,vy,flow_used\n")
+            f.write("t_ms,x,y,z,vx,vy,vz,yaw_rad,flow_used\n")
             for i in range(n_frames):
                 f.write(f"{int(scan_ms[i])},{float(track['x'][i]):.4f},"
                         f"{float(track['y'][i]):.4f},"
+                        f"{float(track['z'][i]):.4f},"
                         f"{float(track['vx'][i]):.4f},"
                         f"{float(track['vy'][i]):.4f},"
+                        f"{float(track['vz'][i]):.4f},"
+                        f"{float(track['yaw'][i]):.4f},"
                         f"{int(track['flow_used'][i])}\n")
         print(f"track -> {args.out}")
     return 0

@@ -49,12 +49,17 @@ def _ekf_replay_batched(frames: dict, cfg: PipelineConfig):
     dt = jnp.clip(dt, 0.0, 1.0)  # guard clock glitches / wraps
 
     # seed position from the first finite logged pose so the recomputed
-    # track is comparable to the logged one
+    # track is comparable to the logged one; yaw/z seed from the first
+    # attitude / rangefinder samples (they re-converge in one update)
     x0 = jnp.nan_to_num(frames["x_m"][:, 0], nan=0.0)
     y0 = jnp.nan_to_num(frames["y_m"][:, 0], nan=0.0)
+    yaw0 = jnp.nan_to_num(jnp.deg2rad(frames["yaw_deg"][:, 0]), nan=0.0)
+    z0 = jnp.nan_to_num(frames["rf_m"][:, 0], nan=0.0)
     state0 = ekf_init((B,), 0.0, 0.0)
     state0 = EkfState(
-        state0.mean.at[:, 0].set(x0).at[:, 1].set(y0), state0.cov
+        state0.mean.at[:, 0].set(x0).at[:, 1].set(y0)
+        .at[:, 4].set(z0).at[:, 6].set(yaw0),
+        state0.cov,
     )
 
     seq = {
@@ -77,6 +82,9 @@ def _ekf_replay_batched(frames: dict, cfg: PipelineConfig):
         "y": jnp.moveaxis(outs["mean"][..., 1], 0, 1),
         "vx": jnp.moveaxis(outs["mean"][..., 2], 0, 1),
         "vy": jnp.moveaxis(outs["mean"][..., 3], 0, 1),
+        "z": jnp.moveaxis(outs["mean"][..., 4], 0, 1),
+        "vz": jnp.moveaxis(outs["mean"][..., 5], 0, 1),
+        "yaw": jnp.moveaxis(outs["mean"][..., 6], 0, 1),
         "flow_used": jnp.moveaxis(outs["flow_used"], 0, 1),
     }
     return state, track

@@ -194,11 +194,17 @@ class EkfConfig:
     """Explicit EKF replacing ArduPilot EKF3 (new capability; the reference
     consumed LOCAL_POSITION_NED, uav_local_nav.c:1168-1195)."""
 
-    # state: [x, y, vx, vy]; flow gives velocity, attitude gives yaw.
+    # state: [x, y, vx, vy, z, vz, yaw, wz]; flow measures body velocity,
+    # the rangefinder measures z, logged attitude measures yaw.
     q_pos: float = 1e-4       # process noise on position (m^2 / step)
-    q_vel: float = 0.4       # process noise on velocity
+    q_vel: float = 0.4        # process noise on velocity
+    q_vz: float = 0.4         # process noise on vertical velocity
+    q_yaw: float = 1e-4       # process noise on yaw (rad^2 / s)
+    q_wz: float = 0.5         # process noise on yaw rate
     r_flow_vel: float = 1e-2  # flow-derived velocity measurement noise
-    r_zero_vel: float = 1.0     # weak zero-velocity prior when flow is bad
+    r_zero_vel: float = 1.0   # weak zero-velocity prior when flow is bad
+    r_rf: float = 4e-4        # rangefinder variance (~2 cm sigma)
+    r_yaw: float = 3e-4       # attitude-yaw variance (~1 deg sigma)
     min_flow_quality: int = 50
     min_ground_m: float = 0.05
 
