@@ -174,8 +174,26 @@ def cmd_slam(args) -> int:
         n_frames = len(log)
         x_truth, y_truth = log.x_m, log.y_m
         frames = {k: v[None] for k, v in raw.items()}
+    state0 = None
+    if args.resume:
+        from micro_quad_slam_tpu.utils.checkpoint import (
+            latest_checkpoint, restore_checkpoint)
+        B = frames["x_m"].shape[0]
+        like = (np.zeros((B, DEFAULT_GEOM.prows, DEFAULT_GEOM.pcols),
+                         np.int8),
+                np.zeros(B, np.float32), np.zeros(B, np.float32))
+        path = latest_checkpoint(args.resume) or args.resume
+        state0 = restore_checkpoint(path, like=like)
+        print(f"resuming SLAM map from {path}")
     res = slam_replay(frames, _profile(args.profile), DEFAULT_GEOM,
-                      args.kf_every, args.gn_iters)
+                      args.kf_every, args.gn_iters, state0)
+    if args.save_state:
+        from micro_quad_slam_tpu.utils.checkpoint import save_checkpoint
+        p = save_checkpoint(
+            args.save_state,
+            (np.asarray(res.grid), np.asarray(res.origin[0]),
+             np.asarray(res.origin[1])), step=n_frames)
+        print(f"slam map state -> {p}")
     grid = np.asarray(logical_grid(res.grid))[0]
     truth_ok = np.isfinite(x_truth).all()
     msg = (f"SLAM: {n_frames} frames, {len(np.asarray(res.kf_idx))} keyframes; "
@@ -352,6 +370,12 @@ def main(argv=None) -> int:
     ps.add_argument("--kf-every", type=int, default=10)
     ps.add_argument("--gn-iters", type=int, default=8)
     ps.add_argument("--ascii", action="store_true")
+    ps.add_argument("--save-state", help="checkpoint the corrected map + "
+                                         "origins (continue a later "
+                                         "segment with --resume)")
+    ps.add_argument("--resume", help="checkpoint dir/path of a previous "
+                                     "slam segment's map to continue in "
+                                     "the same frame")
     ps.set_defaults(fn=cmd_slam)
 
     pm = sub.add_parser("sim", help="closed-loop swarm simulation")
@@ -377,7 +401,7 @@ def main(argv=None) -> int:
     py.add_argument("--out", required=True)
     py.add_argument("--frames", type=int, default=200)
     py.add_argument("--path", default="circle",
-                    choices=("circle", "hover", "line"))
+                    choices=("circle", "hover", "line", "fig8"))
     py.add_argument("--radius", type=float, default=1.0)
     py.add_argument("--room", type=float, nargs=4,
                     default=(-3.0, -3.0, 3.0, 3.0))

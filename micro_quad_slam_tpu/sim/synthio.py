@@ -109,6 +109,17 @@ def synth_room_scanlog(
         xs = np.linspace(0.0, path_radius_m, T).astype(np.float32)
         ys = np.zeros(T, np.float32)
         yaws = np.zeros(T, np.float32)
+    elif path == "fig8":
+        # lemniscate-like figure-8 with a genuine self-revisit at the
+        # crossing (loop-closure test trajectory); yaw follows the
+        # path tangent
+        phi = np.linspace(0.0, 2 * math.pi, T)
+        xs = (path_radius_m * np.sin(phi)).astype(np.float32)
+        ys = (0.6 * path_radius_m * np.sin(2 * phi)).astype(np.float32)
+        dx = np.gradient(xs.astype(np.float64))
+        dy = np.gradient(ys.astype(np.float64))
+        yaws = ((np.degrees(np.arctan2(dy, dx)) + 180.0) % 360.0
+                - 180.0).astype(np.float32)
     else:
         raise ValueError(f"unknown path {path!r}")
 

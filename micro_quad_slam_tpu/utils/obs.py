@@ -227,3 +227,117 @@ def profile_trace(logdir: Optional[str]):
     import jax
     with jax.profiler.trace(logdir):
         yield
+
+
+def map_divergence(grid_a, grid_b, occ_thresh: int = 10,
+                   free_thresh: int = -10) -> dict:
+    """Quantify how two log-odds maps of the same flight differ — used to
+    put a measured fidelity cost on the cone production path vs the
+    bit-exact reference-semantics path (ops/conemode.py is bit-exact vs
+    the XLA cone mode, NOT vs the reference's 32-ray update).
+
+    Returns occupied/free-cell IoU (same >10 / <-10 classification the
+    reference's frontier scorer uses, uav_local_nav.c:366-381), the
+    signed per-cell difference histogram over cells either map touched,
+    and summary stats."""
+    import numpy as np
+
+    a = np.asarray(grid_a, np.int32)
+    b = np.asarray(grid_b, np.int32)
+    occ_a, occ_b = a > occ_thresh, b > occ_thresh
+    free_a, free_b = a < free_thresh, b < free_thresh
+
+    def iou(x, y):
+        union = (x | y).sum()
+        return float((x & y).sum() / union) if union else 1.0
+
+    def dilate(x):
+        out = x.copy()
+        out[1:] |= x[:-1]
+        out[:-1] |= x[1:]
+        out[:, 1:] |= x[:, :-1]
+        out[:, :-1] |= x[:, 1:]
+        return out
+
+    def iou_tol(x, y):
+        """Tolerant IoU: a cell counts as agreeing if the other map has
+        the class within 1 cell (walls are 1 cell thick, so pure
+        quantization offsets shouldn't read as total disagreement)."""
+        union = (x | y).sum()
+        if not union:
+            return 1.0
+        hits = (x & dilate(y)).sum() + (y & dilate(x)).sum()
+        return float(min(hits / 2 / union, 1.0))
+
+    touched = (a != 0) | (b != 0)
+    diff = (a - b)[touched]
+    hist_vals, hist_counts = np.unique(diff, return_counts=True)
+    return {
+        "iou_occupied": iou(occ_a, occ_b),
+        "iou_occupied_tol1": iou_tol(occ_a, occ_b),
+        "iou_free": iou(free_a, free_b),
+        "touched_cells": int(touched.sum()),
+        "equal_cells_frac": float((diff == 0).mean()) if diff.size else 1.0,
+        "diff_hist": {int(v): int(c) for v, c in
+                      zip(hist_vals, hist_counts)},
+        "mean_abs_diff": float(np.abs(diff).mean()) if diff.size else 0.0,
+    }
+
+
+def map_iou_vs_walls(grid, origin_x: float, origin_y: float, room,
+                     obstacles=(), res_m: float = 0.10,
+                     occ_thresh: int = 10, tol_cells: int = 1) -> float:
+    """Map-fidelity score against the simulator's ground-truth walls:
+    IoU between the map's occupied cells (> occ_thresh, the reference's
+    frontier classification) and the true wall cells of the synthetic
+    room/obstacle rectangles, with a tol_cells dilation on each side so
+    pure half-cell quantization offsets don't read as disagreement.
+
+    grid: logical [H, W] int8 ([y, x]); origin at the grid center
+    (uav_local_nav.c:205-214)."""
+    import numpy as np
+
+    g = np.asarray(grid)
+    h, w = g.shape
+    xs = origin_x + (np.arange(w) - w // 2) * res_m
+    ys = origin_y + (np.arange(h) - h // 2) * res_m
+    X, Y = np.meshgrid(xs, ys)
+
+    def seg_dist(px, py, ax, ay, bx, by):
+        abx, aby = bx - ax, by - ay
+        ln2 = abx * abx + aby * aby
+        t = np.clip(((px - ax) * abx + (py - ay) * aby)
+                    / (ln2 if ln2 else 1.0), 0.0, 1.0)
+        return np.hypot(px - (ax + t * abx), py - (ay + t * aby))
+
+    def rect_segs(x0, y0, x1, y1):
+        return [(x0, y0, x1, y0), (x1, y0, x1, y1),
+                (x1, y1, x0, y1), (x0, y1, x0, y0)]
+
+    segs = rect_segs(*room)
+    for ob in obstacles:
+        segs += rect_segs(*ob)
+    dmin = np.full_like(X, np.inf)
+    for sgm in segs:
+        dmin = np.minimum(dmin, seg_dist(X, Y, *sgm))
+    truth = dmin <= res_m * 0.5 + 1e-6
+
+    pred = g > occ_thresh
+
+    def dilate(x, n):
+        out = x.copy()
+        for _ in range(n):
+            nx = out.copy()
+            nx[1:] |= out[:-1]
+            nx[:-1] |= out[1:]
+            nx[:, 1:] |= out[:, :-1]
+            nx[:, :-1] |= out[:, 1:]
+            out = nx
+        return out
+
+    union = (pred | truth).sum()
+    if not union:
+        return 1.0
+    hits = ((pred & dilate(truth, tol_cells)).sum()
+            + (truth & dilate(pred, tol_cells)).sum())
+    return float(min(hits / 2 / union, 1.0))

@@ -176,3 +176,43 @@ def test_slam_batched_flights_use_their_own_origins():
     # and the tracks really are 5 m apart
     dx = np.asarray(res.track)[1, :, 0] - np.asarray(res.track)[0, :, 0]
     assert np.allclose(dx, 5.0, atol=1e-3)
+
+
+def test_slam_fig8_loop_closure_fires_and_corrects():
+    """Figure-8 revisit trajectory (VERDICT round-1 missing item 4): the
+    proximity-gated keyframe-to-keyframe matcher must produce real loop
+    edges, and the corrected map must beat the odometry map against the
+    simulator's ground-truth walls (IoU with 1-cell tolerance)."""
+    from micro_quad_slam_tpu.utils.obs import map_iou_vs_walls
+    from micro_quad_slam_tpu.ops.raycast import GridGeom
+
+    room = (-2.5, -2.5, 2.5, 2.5)
+    log = synth_room_scanlog(n_frames=160, path="fig8", path_radius_m=1.4,
+                             room=room, with_flow=True, seed=5)
+    log.of_rate_x[:] *= 1.06
+    log.of_rate_y[:] *= 1.06
+    f = {**scanlog_to_arrays(log), **fusion_arrays(log)}
+    frames = {k: v[None] for k, v in f.items()}
+    res = slam_replay(frames, UL_PROFILE, GEOM, 10, 8)
+
+    truth = np.stack([log.x_m, log.y_m], -1)
+    odo_err = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - truth).T)
+    slam_err = np.hypot(*(np.asarray(res.track)[0, :, :2] - truth).T)
+    assert slam_err[-20:].mean() < odo_err[-20:].mean() * 0.7, (
+        odo_err[-20:].mean(), slam_err[-20:].mean())
+
+    # the corrected map is closer to the true walls than the raw-odo map
+    from micro_quad_slam_tpu.slam.pipeline import _map_pass
+    from micro_quad_slam_tpu.ops.beams import extract_beams
+    beams, _ = extract_beams(frames["grid_mm"], UL_PROFILE.tof)
+    kf_mask = (np.arange(frames["x_m"].shape[1]) % 10) == 0
+    odo_grid, _, (oox, ooy) = _map_pass(
+        beams, np.asarray(res.odo_track), 0, UL_PROFILE, GEOM, False,
+        kf_mask)
+    g_slam = np.asarray(logical_grid(res.grid))[0]
+    g_odo = np.asarray(logical_grid(odo_grid))[0]
+    iou_slam = map_iou_vs_walls(g_slam, float(res.origin[0][0]),
+                                float(res.origin[1][0]), room)
+    iou_odo = map_iou_vs_walls(g_odo, float(oox[0]), float(ooy[0]), room)
+    assert iou_slam > iou_odo, (iou_slam, iou_odo)
+    assert iou_slam >= 0.8, iou_slam
