@@ -2,10 +2,12 @@
 
 Measures the framework's headline metric (BASELINE.md north star:
 >= 1,000,000 fused frames/sec on one TPU v5e chip): B independent flight
-replays, each frame doing beam extraction + gating + a fused dense map
-update.  Default kernel is the production path (resident_cone: whole
-replay in one pallas launch, dense inverse sensor model); set
-MQS_BENCH_KERNEL=resident for the bit-exact reference-semantics mode.
+replays, each frame doing beam extraction + gating + a fused map update.
+Default kernel is `residentx` — the BIT-EXACT reference-semantics
+whole-replay kernel (ops/pallas_residentx.py; grids bit-match the golden
+C model).  Set MQS_BENCH_KERNEL=resident_cone for the dense
+inverse-sensor-model production mode (faster still, not bit-exact; its
+map divergence vs the exact path is quantified in PERFORMANCE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the multiple of the reference pipeline's own fused-frame
@@ -108,7 +110,7 @@ def main() -> None:
     mesh = make_mesh()
     frames = shard_batch(frames, mesh)
 
-    kernel = os.environ.get("MQS_BENCH_KERNEL", "resident_cone")
+    kernel = os.environ.get("MQS_BENCH_KERNEL", "residentx")
     if kernel != "xla":
         from micro_quad_slam_tpu.parallel.mesh import batch_metrics
         from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from micro_quad_slam_tpu.utils.config import TofConfig
 
@@ -63,6 +64,15 @@ def tof_filter_update(
     skip NaN samples, adopt the first sample directly, then
     (1-a)*filt + a*v in float32."""
     a = _F32(alpha)
-    blended = (_F32(1.0) - a) * filt + a * minima
+    # The selects pin the arithmetic to mul-then-add in EVERY compilation
+    # context: a bare (1-a)*filt + a*minima gets fma-contracted by LLVM in
+    # some fusion shapes but not others (optimization_barrier does not
+    # survive into codegen), and the 1-ULP skew breaks cross-kernel
+    # bit-equality of filt.  where(x == x, p, y) is value-identity on
+    # non-NaN lanes (NaN lanes are overridden below) yet blocks the
+    # fadd(fmul) contraction pattern on both CPU and TPU backends.
+    p1 = jnp.where(filt == filt, (_F32(1.0) - a) * filt, minima)
+    p2 = jnp.where(minima == minima, a * minima, filt)
+    blended = p1 + p2
     upd = jnp.where(jnp.isnan(filt), minima, blended)
     return jnp.where(jnp.isnan(minima), filt, upd)

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from micro_quad_slam_tpu.ops.beams import extract_beams, tof_filter_update
 from micro_quad_slam_tpu.ops.pallas_raycast import _AWC, _AWR_PAD, _pack_rays
 from micro_quad_slam_tpu.ops.raycast import (
+    shift_origin,
     DEFAULT_GEOM,
     GridGeom,
     recenter_decide,
@@ -76,10 +77,17 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     per-(t, b) ray + recenter schedule for the kernel.
 
     mode "exact": returns (ray_words i32 [T, B, 8, 128], outs, final).
+    mode "exact2": v2 planar words i32 [T, B, 16, 128]
+    (ops/pallas_residentx.py layout).
     mode "cone": returns ((words i32 [T, B, 1, 128], fwords f32
     [T, B, 1, 128]), outs, final) — i32 words 0-7 = r0a, c0a, cy, cx,
     do, sy, sx, en; f32 words 0-31 = packed beam returns (pack_beams),
-    32-35 = ux, uy, oxc, oyc (cone_cell_delta scalars)."""
+    32-35 = ux, uy, oxc, oyc (cone_cell_delta scalars).
+
+    The scan carries ONLY the tiny sequential state (origins, inited,
+    ToF filter); the heavy per-(t, b) ray packing runs vectorized over
+    the whole [T, B] batch afterwards — the latency-bound small-op scan
+    was costing more than the pallas kernel itself."""
     from micro_quad_slam_tpu.replay.mapping import (
         ST_HOVER,
         ST_LANDING,
@@ -89,12 +97,8 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
 
     B, T = frames["x_m"].shape
     beams, minima = extract_beams(frames["grid_mm"], cfg.tof)
-    seq = {
-        "beams": jnp.moveaxis(beams, 0, 1),
-        "minima": jnp.moveaxis(minima, 0, 1),
-    }
-    for k in ("x_m", "y_m", "yaw_deg", "of_q", "of_rate_x", "sys_health",
-              "state"):
+    seq = {"minima": jnp.moveaxis(minima, 0, 1)}
+    for k in ("x_m", "y_m", "state"):
         seq[k] = jnp.moveaxis(frames[k], 0, 1)
 
     st_hi = ST_LANDING if cfg.behavior.explore_enabled else 6
@@ -103,7 +107,7 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     def step(carry, fr):
         origin_x, origin_y, inited, filt = carry
         filt = tof_filter_update(filt, fr["minima"], cfg.tof.filt_alpha)
-        x, y, yaw = fr["x_m"], fr["y_m"], fr["yaw_deg"]
+        x, y = fr["x_m"], fr["y_m"]
         pose_finite = jnp.isfinite(x) & jnp.isfinite(y)
         st = fr["state"].astype(jnp.int32)
         airborne = (st >= ST_HOVER) & (st <= st_hi)
@@ -114,31 +118,12 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
 
         sx, sy, do_rc = recenter_decide(
             origin_x, origin_y, x, y, pose_finite & inited, cfg.map)
-        origin_x = origin_x + sx.astype(jnp.float32) * res
-        origin_y = origin_y + sy.astype(jnp.float32) * res
+        origin_x = shift_origin(origin_x, sx, res)
+        origin_y = shift_origin(origin_y, sy, res)
 
-        enabled = inited & pose_good_for_mapping(
-            x, yaw, fr["of_q"].astype(jnp.int32), fr["of_rate_x"],
-            fr["sys_health"], cfg.gates.of_min_quality)
-
-        if mode == "cone":
-            words = _pack_cone(fr["beams"], x, y, yaw, origin_x, origin_y,
-                               enabled, cfg.map, cfg.tof, geom,
-                               do_rc, sy, sx)
-        else:
-            words = _pack_rays(fr["beams"], x, y, yaw, origin_x, origin_y,
-                               enabled, cfg.map, cfg.tof, geom)
-            words = words.at[:, 1, _W_DO].set(do_rc.astype(jnp.int32))
-            words = words.at[:, 1, _W_SY].set(sy)
-            words = words.at[:, 1, _W_SX].set(sx)
-
-        out = {
-            "used": enabled,
-            "kf_flags": jnp.where(do_rc, jnp.uint8(KF_MAP_RECENTER),
-                                  jnp.uint8(0)),
-            "filt": filt,
-        }
-        return (origin_x, origin_y, inited, filt), (words, out)
+        out = {"ox": origin_x, "oy": origin_y, "inited": inited,
+               "do": do_rc, "rsy": sy, "rsx": sx, "filt": filt}
+        return (origin_x, origin_y, inited, filt), out
 
     if state0 is not None:   # resume a checkpointed replay
         init = (state0.origin_x, state0.origin_y, state0.inited,
@@ -150,8 +135,51 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
         nanb = jnp.full_like(x0, jnp.nan)
         init = (nanb, nanb, jnp.zeros_like(x0, bool),
                 nanb[:, None] + jnp.zeros((4,), jnp.float32))
-    final, (ray_words, outs) = lax.scan(step, init, seq)
-    return ray_words, outs, final
+    final, so = lax.scan(step, init, seq, unroll=8)
+
+    # everything below is carry-free: vectorized over the full [T, B]
+    xT = jnp.moveaxis(frames["x_m"], 0, 1)
+    yT = jnp.moveaxis(frames["y_m"], 0, 1)
+    yawT = jnp.moveaxis(frames["yaw_deg"], 0, 1)
+    enabled = so["inited"] & pose_good_for_mapping(
+        xT, yawT, jnp.moveaxis(frames["of_q"], 0, 1).astype(jnp.int32),
+        jnp.moveaxis(frames["of_rate_x"], 0, 1),
+        jnp.moveaxis(frames["sys_health"], 0, 1),
+        cfg.gates.of_min_quality)
+    beamsT = jnp.moveaxis(beams, 0, 1)
+    do_rc, rsy, rsx = so["do"], so["rsy"], so["rsx"]
+    outs = {
+        "used": enabled,
+        "kf_flags": jnp.where(do_rc, jnp.uint8(KF_MAP_RECENTER),
+                              jnp.uint8(0)),
+        "filt": so["filt"],
+    }
+
+    if mode == "cone":
+        words = jax.vmap(
+            lambda b_, x_, y_, w_, ox_, oy_, en_, do_, sy_, sx_: _pack_cone(
+                b_, x_, y_, w_, ox_, oy_, en_, cfg.map, cfg.tof, geom,
+                do_, sy_, sx_)
+        )(beamsT, xT, yT, yawT, so["ox"], so["oy"], enabled,
+          do_rc, rsy, rsx)
+    elif mode == "exact2":
+        from micro_quad_slam_tpu.ops.pallas_residentx import (
+            _pack_words_x, pad_frames_to_group)
+        args = [beamsT, xT, yT, yawT, so["ox"], so["oy"], enabled,
+                do_rc, rsy, rsx]
+        # pad to the kernel's frame-group size with inert frames
+        # (enabled=False => every ray invalid; do=False)
+        args, _ = pad_frames_to_group(args, T)
+        words = _pack_words_x(*args, cfg.map, cfg.tof, geom)
+    else:
+        words = jax.vmap(
+            lambda b_, x_, y_, w_, ox_, oy_, en_: _pack_rays(
+                b_, x_, y_, w_, ox_, oy_, en_, cfg.map, cfg.tof, geom)
+        )(beamsT, xT, yT, yawT, so["ox"], so["oy"], enabled)
+        words = (words.at[:, :, 1, _W_DO].set(do_rc.astype(jnp.int32))
+                 .at[:, :, 1, _W_SY].set(rsy)
+                 .at[:, :, 1, _W_SX].set(rsx))
+    return words, outs, final
 
 
 def _pack_cone(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig, tof,

@@ -269,6 +269,18 @@ def recenter_decide(
     return jnp.where(do, sx, 0), jnp.where(do, sy, 0), do
 
 
+def shift_origin(origin, s_cells, res):
+    """origin + s_cells * res with the product pinned to its own f32
+    rounding step: a bare mul+add gets fma-contracted by the backend in
+    some fusion contexts (observed when a consumer scan was unrolled) and
+    the 1-ULP skew breaks cross-kernel bit-equality of the origins.  The
+    select is value-identity (origin is NaN only before map init, where
+    NaN + anything = NaN anyway) but blocks the contraction pattern."""
+    prod = jnp.where(origin == origin, s_cells.astype(jnp.float32) * res,
+                     origin)
+    return origin + prod
+
+
 def recenter_apply(
     padded_grid: jnp.ndarray, sx, sy,
     cfg: MapConfig = MapConfig(), geom: GridGeom = DEFAULT_GEOM,

@@ -42,6 +42,7 @@ from micro_quad_slam_tpu.ops.raycast import (
     apply_scan_to_grid,
     recenter_apply,
     recenter_decide,
+    shift_origin,
 )
 from micro_quad_slam_tpu.utils.config import PipelineConfig, UL_PROFILE
 
@@ -150,8 +151,8 @@ def mapping_step(
         state.grid,
     )
     res = _F32(cfg.map.res_m)
-    origin_x = origin_x + sx.astype(jnp.float32) * res
-    origin_y = origin_y + sy.astype(jnp.float32) * res
+    origin_x = shift_origin(origin_x, sx, res)
+    origin_y = shift_origin(origin_y, sy, res)
 
     enabled = inited & pose_good_for_mapping(
         x, yaw, frame["of_q"].astype(jnp.int32), frame["of_rate_x"],
@@ -231,6 +232,12 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
             f"batch mismatch: state0 holds {state0.origin_x.shape[0]} "
             f"flights but frames hold {frames['x_m'].shape[0]} (resume "
             f"must continue the same batch)")
+    if kernel == "residentx":
+        # v2 exact whole-replay kernel: range-form membership + endpoint
+        # fix-up (ops/pallas_residentx.py)
+        from micro_quad_slam_tpu.ops.pallas_residentx import (
+            pallas_replay_residentx)
+        return pallas_replay_residentx(frames, cfg, geom, state0=state0)
     if kernel in ("resident", "resident_cone"):
         # whole replay in ONE pallas launch: grid resident in VMEM per
         # quad, schedule precomputed by a grid-free scalar scan

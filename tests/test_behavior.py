@@ -224,14 +224,14 @@ def test_jax_batched_scenarios_match_lanewise():
 
 
 def test_jax_matches_golden_fuzzed_schedules():
-    """Randomized anomaly-schedule fuzz: 128 seeded scenarios run through
-    the golden machine, then all 128 lanes replayed in ONE batched jax
+    """Randomized anomaly-schedule fuzz: 256 seeded scenarios run through
+    the golden machine, then all 256 lanes replayed in ONE batched jax
     scan — every lane's state/command trace must match its golden trace
     exactly.  Catches timer/gate interactions the scripted scenarios
     miss (VERDICT round-1 weak item 4)."""
     from fc_mock import random_scenario
 
-    N_SEEDS, T = 128, 700
+    N_SEEDS, T = 256, 700
     runs = [run_scenario(random_scenario(s), n_ticks=T)
             for s in range(N_SEEDS)]
     arrs = [telems_to_arrays(telems) for telems, _ in runs]

@@ -156,7 +156,7 @@ def test_jax_cl_matches_golden(sc):
 
 @pytest.mark.skipif(not _jax_cl_available(), reason="jax CL machine not built")
 def test_jax_cl_matches_golden_fuzzed_schedules():
-    """Randomized anomaly-schedule fuzz for the CL machine: 128 seeded
+    """Randomized anomaly-schedule fuzz for the CL machine: 256 seeded
     scenarios, golden traces vs ONE batched jax scan, exact per-lane
     equality (VERDICT round-1 weak item 4)."""
     import jax
@@ -169,7 +169,7 @@ def test_jax_cl_matches_golden_fuzzed_schedules():
     from fc_mock import random_scenario
     from test_behavior import telems_to_arrays
 
-    N_SEEDS, T = 128, 700
+    N_SEEDS, T = 256, 700
     runs = [run_cl(random_scenario(10_000 + s), n_ticks=T)
             for s in range(N_SEEDS)]
     arrs = [telems_to_arrays(telems) for telems, _ in runs]

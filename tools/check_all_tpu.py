@@ -1,0 +1,115 @@
+"""All on-TPU kernel parity checks in one run -> TPUCHECK_r{N}.json.
+
+Closes the interpret-vs-Mosaic gap (the CI suite runs Pallas in interpret
+mode on CPU; this executes every production kernel on REAL hardware and
+bit-compares against the XLA reference paths, which are themselves
+bit-matched against the golden C model by the test suite).
+
+Run from the repo root:  python tools/check_all_tpu.py
+Writes TPUCHECK_r{N}.json (N from $MQS_ROUND, default 0) and exits
+nonzero on any mismatch.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_resident_tpu import make_frames  # noqa: E402
+
+from micro_quad_slam_tpu.ops.pallas_resident import (  # noqa: E402
+    pallas_map_track, pallas_replay_resident)
+from micro_quad_slam_tpu.ops.pallas_residentx import (  # noqa: E402
+    pallas_map_track_x, pallas_replay_residentx)
+from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM  # noqa: E402
+from micro_quad_slam_tpu.replay.mapping import (  # noqa: E402
+    replay_mapping_batched)
+from micro_quad_slam_tpu.utils.config import UL_PROFILE  # noqa: E402
+
+
+def _eq(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    if np.issubdtype(a.dtype, np.floating):
+        return bool(np.array_equal(a, b, equal_nan=True))
+    return bool(np.array_equal(a, b))
+
+
+def main() -> int:
+    results = {"backend": jax.devices()[0].platform,
+               "device": str(jax.devices()[0])}
+    ok_all = True
+
+    def record(name, ok, extra=""):
+        nonlocal ok_all
+        ok_all &= ok
+        results[name] = bool(ok)
+        print(f"{name}: {'PASS' if ok else 'FAIL'} {extra}", flush=True)
+
+    fr = make_frames(8, 64)
+    frd = {k: jnp.asarray(v) for k, v in fr.items()}
+
+    t0 = time.time()
+    st_x, outs_x = replay_mapping_batched(frd, UL_PROFILE)
+    print(f"xla replay {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    st_r, outs_r = pallas_replay_resident(frd, UL_PROFILE)
+    record("resident_vs_xla",
+           _eq(st_r.grid, st_x.grid) and _eq(st_r.origin_x, st_x.origin_x)
+           and _eq(outs_r["used"], outs_x["used"]),
+           f"({time.time()-t0:.1f}s, "
+           f"recenters={int((np.asarray(outs_x['kf_flags']) != 0).sum())})")
+
+    t0 = time.time()
+    st_v, outs_v = pallas_replay_residentx(frd, UL_PROFILE)
+    record("residentx_vs_xla",
+           _eq(st_v.grid, st_x.grid) and _eq(st_v.origin_x, st_x.origin_x)
+           and _eq(st_v.origin_y, st_x.origin_y)
+           and _eq(st_v.filt, st_x.filt)
+           and all(_eq(outs_v[k], outs_x[k]) for k in outs_x),
+           f"({time.time()-t0:.1f}s)")
+
+    # checkpoint-resume: split replay must equal the unbroken one
+    half = {k: v[:, :32] for k, v in frd.items()}
+    rest = {k: v[:, 32:] for k, v in frd.items()}
+    st_h, _ = pallas_replay_residentx(half, UL_PROFILE)
+    st_f, _ = pallas_replay_residentx(rest, UL_PROFILE, state0=st_h)
+    record("residentx_resume", _eq(st_f.grid, st_x.grid))
+
+    t0 = time.time()
+    st_c, outs_c = replay_mapping_batched(frd, UL_PROFILE, kernel="cone")
+    st_rc, _ = replay_mapping_batched(frd, UL_PROFILE,
+                                      kernel="resident_cone")
+    record("resident_cone_vs_xla_cone", _eq(st_rc.grid, st_c.grid),
+           f"({time.time()-t0:.1f}s)")
+
+    # map-track twins (the SLAM re-raster path)
+    rng = np.random.default_rng(5)
+    B, T = 4, 64
+    beams = rng.uniform(0.1, 4.0, (B, T, 4, 8)).astype(np.float32)
+    beams[rng.random(beams.shape) < 0.05] = np.nan
+    x = rng.uniform(-1.5, 1.5, (B, T)).astype(np.float32)
+    y = rng.uniform(-1.5, 1.5, (B, T)).astype(np.float32)
+    yaw = rng.uniform(-180, 180, (B, T)).astype(np.float32)
+    ox = np.zeros(B, np.float32)
+    oy = np.zeros(B, np.float32)
+    args = tuple(jnp.asarray(v) for v in (beams, x, y, yaw, ox, oy))
+    g1 = pallas_map_track(*args, UL_PROFILE)
+    g2 = pallas_map_track_x(*args, UL_PROFILE)
+    record("map_track_x_vs_map_track", _eq(g1, g2))
+
+    rnd = os.environ.get("MQS_ROUND", "0")
+    out = f"TPUCHECK_r{int(rnd):02d}.json"
+    results["ok"] = bool(ok_all)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}: ok={ok_all}", flush=True)
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
