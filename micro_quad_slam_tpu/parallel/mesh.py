@@ -96,3 +96,83 @@ def replay_mapping_sharded(
         return state, outs, batch_metrics(outs)
 
     return run(frames)
+
+
+def shard_pytree(tree, batch: int, mesh: Mesh, axis: str = LOGS_AXIS):
+    """Place a pytree on the mesh: leaves with a leading dim == batch are
+    sharded over the logs axis, everything else (scalars, shared
+    constants, RNG keys) is replicated.  `batch` disambiguates — avoid
+    batch sizes that collide with non-batch leading dims (e.g. a raw
+    [2] PRNG key at batch=2)."""
+    def put(a):
+        a = jnp.asarray(a)
+        shd = (NamedSharding(mesh, P(axis))
+               if a.ndim >= 1 and a.shape[0] == batch
+               else NamedSharding(mesh, P()))
+        return jax.device_put(a, shd)
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replay_fusion_sharded(frames: dict, cfg: PipelineConfig = UL_PROFILE,
+                          mesh: Optional[Mesh] = None):
+    """EKF fusion replay with the [B, T] batch sharded across the mesh.
+    Pure XLA, so plain GSPMD partitioning applies — the computation (and
+    every bit of the result) is identical to the unsharded
+    replay_fusion_batched (asserted in tests/test_properties_and_parallel
+    on an 8-device CPU mesh)."""
+    from micro_quad_slam_tpu.replay.fusion import _ekf_replay_batched
+
+    mesh = mesh or make_mesh()
+    frames = shard_batch(frames, mesh)
+    return jax.jit(partial(_ekf_replay_batched, cfg=cfg))(frames)
+
+
+def slam_replay_sharded(frames: dict, cfg: PipelineConfig = UL_PROFILE,
+                        mesh: Optional[Mesh] = None,
+                        geom: GridGeom = DEFAULT_GEOM, kf_every: int = 10,
+                        gn_iters: int = 8):
+    """Full SLAM pipeline (EKF odometry -> scan match -> pose-graph GN ->
+    resident re-raster) with flights sharded across the mesh.  SLAM is
+    per-flight data-parallel and contains pallas re-raster launches, so
+    it runs under `shard_map` — each device executes the whole pipeline
+    on its local shard; results are bit-identical to the unsharded
+    slam_replay (no RNG, no cross-flight math; asserted in tests)."""
+    from micro_quad_slam_tpu.slam.pipeline import SlamResult, slam_replay
+
+    mesh = mesh or make_mesh()
+    frames = shard_batch(frames, mesh)
+    spec = P(LOGS_AXIS)
+    # kf_idx is shared across flights (computed identically per shard);
+    # everything else is [B]-leading
+    out_specs = SlamResult(grid=spec, track=spec, odo_track=spec,
+                           kf_idx=P(), kf_nodes=spec, gn_costs=spec,
+                           origin=(spec, spec))
+    inner = jax.shard_map(
+        partial(slam_replay, cfg=cfg, geom=geom, kf_every=kf_every,
+                gn_iters=gn_iters),
+        mesh=mesh, in_specs=(spec,), out_specs=out_specs, check_vma=False)
+    return jax.jit(inner)(frames)
+
+
+def sim_run_sharded(state, world, n_steps: int,
+                    cfg: PipelineConfig = UL_PROFILE,
+                    mesh: Optional[Mesh] = None,
+                    geom: GridGeom = DEFAULT_GEOM, dt_ms: int = 20,
+                    scan_period_ms: int = 100, record: bool = False,
+                    vision_flow: bool = False):
+    """Closed-loop swarm simulation with the quad batch sharded across
+    the mesh.  The simulator is pure XLA (incl. its jax.random noise
+    streams), so GSPMD partitioning reproduces the unsharded values
+    bit-for-bit — the threefry bits depend on global shapes, which GSPMD
+    preserves (asserted in tests on an 8-device CPU mesh).  Scalar state
+    (clock, RNG key, scan counter) is replicated."""
+    from micro_quad_slam_tpu.models.simulator import sim_run
+
+    mesh = mesh or make_mesh()
+    B = state.x.shape[0]
+    state = shard_pytree(state, B, mesh)
+    world = shard_pytree(world, B, mesh)
+    fn = jax.jit(partial(sim_run, n_steps=n_steps, cfg=cfg, geom=geom,
+                         dt_ms=dt_ms, scan_period_ms=scan_period_ms,
+                         record=record, vision_flow=vision_flow))
+    return fn(state, world)
