@@ -16,7 +16,8 @@ rate (~10 frames/s on the companion SBC, BASELINE.md).
 Env knobs: MQS_BENCH_B (batch, default 256), MQS_BENCH_T (frames/log,
 default 256), MQS_BENCH_REPS (timed reps, default 3),
 MQS_BENCH_MODE=replay|swarm (default replay; swarm = closed-loop
-simulator, BASELINE config 5: quads x 1 kHz control ticks),
+simulator, BASELINE config 5: quads x 1 kHz control ticks;
+MQS_BENCH_VF=1 adds real rendered-camera LK vision flow in the loop),
 MQS_BENCH_KERNEL=xla|pallas|cone (replay map-update kernel; cone is the
 dense inverse-model production mode, not bit-exact).
 """
@@ -45,8 +46,9 @@ def bench_swarm(B: int, T: int, reps: int) -> None:
                        obstacles=[(1.5, -0.5, 2.5, 0.5)])
     st0 = sim_init(B, jax.random.PRNGKey(0), spread_m=0.5)
     # 1 kHz control ticks; ToF scans every 100 ms as in the reference
+    vf = os.environ.get("MQS_BENCH_VF", "0") == "1"
     run = lambda s: sim_run(s, world, T, UL_PROFILE, dt_ms=1,
-                            scan_period_ms=100)[0]
+                            scan_period_ms=100, vision_flow=vf)[0]
     st = run(st0)
     checksum = sync_scalar(st.mapper.grid)
     times = []
