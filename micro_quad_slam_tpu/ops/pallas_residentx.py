@@ -631,3 +631,36 @@ def _map_track_x_jit(beams, x, y, yaw_deg, origin_x, origin_y,
     aux, words = _pack_words_x(*args, cfg.map, cfg.tof, geom)
     grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
     return _residentx_call(aux, words, grids, cfg.map, geom, interpret)
+
+
+def pallas_map_chunk(grids, beams, x, y, yaw_deg, origin_x, origin_y,
+                     cfg: PipelineConfig = UL_PROFILE,
+                     geom: GridGeom = DEFAULT_GEOM,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """Apply [B, C] scans to EXISTING grids (map-track semantics: every
+    frame enabled, fixed per-flight origins, no recentering), one pallas
+    launch.  Bit-identical to scanning vmapped apply_scan_to_grid over C.
+    Used by the SLAM pipeline's keyframe-chunked pass 1."""
+    from micro_quad_slam_tpu.ops.pallas_resident import _check_vmem_fit
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _check_vmem_fit(geom)
+    return _map_chunk_jit(grids, beams, x, y, yaw_deg, origin_x, origin_y,
+                          cfg, geom, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9))
+def _map_chunk_jit(grids, beams, x, y, yaw_deg, origin_x, origin_y,
+                   cfg: PipelineConfig, geom: GridGeom, interpret: bool):
+    B, C = x.shape
+    sh = lambda a: jnp.moveaxis(a, 0, 1)                 # [B, C] -> [C, B]
+    en = jnp.ones((C, B), bool)
+    zi = jnp.zeros((C, B), jnp.int32)
+    obt = jnp.broadcast_to(origin_x, (C, B))
+    oyt = jnp.broadcast_to(origin_y, (C, B))
+    args = [sh(beams), sh(x), sh(y), sh(yaw_deg), obt, oyt, en,
+            zi != 0, zi, zi]
+    args, _ = pad_frames_to_group(args, C)
+    aux, words = _pack_words_x(*args, cfg.map, cfg.tof, geom)
+    return _residentx_call(aux, words, grids, cfg.map, geom, interpret)

@@ -9,6 +9,16 @@ data-dependent convergence, score a STATIC dense candidate lattice
 evaluates all 32 beam endpoints against the grid in parallel, the argmax
 wins, and a quadratic fit around the peak gives sub-cell resolution.
 Fixed shapes, no loops, vmaps over quads.
+
+Cell lookups go through one [96, 128] window slice around the guess and
+TWO one-hot matmuls per lattice ((rows @ window) * cols summed) instead
+of an advanced-indexing gather: batched gathers with traced indices
+measured ~100x slower than the equivalent one-hot matmul on v5e (same
+lesson as the vision-flow warp and the resident kernel's scatter).  Every
+candidate cell provably falls inside the window (max beam reach 4.0 m +
+search radius < window margins), and out-of-grid candidates score 0
+through the no-match row of the one-hot, identical to the masked-gather
+semantics.
 """
 
 from __future__ import annotations
@@ -51,6 +61,69 @@ def _endpoints_world(beams, x, y, yaw_deg, tof: TofConfig):
             hit.reshape(32))
 
 
+def _score_lattice(window, wy0, wx0, beams, x_guess, y_guess,
+                   yaw_guess_deg, origin_x, origin_y,
+                   cfg: MapConfig, tof: TofConfig, geom: GridGeom,
+                   n_xy: int, n_yaw: int, xy_step_m: float,
+                   yaw_step_deg: float):
+    """Score the (n_yaw, n_xy, n_xy) candidate lattice against a
+    [96, 128] int8 window whose top-left padded-grid cell is (wy0, wx0).
+    Returns (scores [Y, Tx, Ty] f32, hit [Y, 32] bool).  Lookups are
+    one-hot matmuls (exact: one-hot selectors and int8 values are
+    bf16-representable); cells outside the window or the logical grid
+    contribute 0."""
+    offs_xy = (np.arange(n_xy, dtype=np.float32) - (n_xy - 1) / 2) * _F32(xy_step_m)
+    offs_yaw = (np.arange(n_yaw, dtype=np.float32) - (n_yaw - 1) / 2) * _F32(yaw_step_deg)
+
+    def yaw_endpoints(dyaw):
+        return _endpoints_world(beams, x_guess, y_guess,
+                                yaw_guess_deg + dyaw, tof)
+
+    pts, hit = lax.map(yaw_endpoints, jnp.asarray(offs_yaw))   # [Y, 32, 2], [Y, 32]
+
+    # candidate endpoint cells: [Y, 32] base + [Tx] x [Ty] world offsets
+    ex = pts[..., 0][:, None, None, :] + offs_xy[None, :, None, None]
+    ey = pts[..., 1][:, None, None, :] + offs_xy[None, None, :, None]
+    cx, cy = world_to_cell(ex, ey, origin_x, origin_y, cfg.res_m,
+                           cfg.width // 2, cfg.height // 2)
+    # cx varies over (Y, Tx), cy over (Y, Ty): broadcast to the full
+    # lattice BEFORE flattening (the old gather broadcast implicitly)
+    sh = jnp.broadcast_shapes(cx.shape, cy.shape)              # [Y, Tx, Ty, 32]
+    cx = jnp.broadcast_to(cx, sh)
+    cy = jnp.broadcast_to(cy, sh)
+    inb = (cx >= 0) & (cx < cfg.width) & (cy >= 0) & (cy < cfg.height)
+    ry = (cy + geom.pad - wy0).reshape(-1, 1)                  # [N, 1]
+    rx = (cx + geom.pad - wx0).reshape(-1, 1)
+    rows = jnp.arange(96)[None, :]
+    cols = jnp.arange(128)[None, :]
+    A = (ry == rows).astype(jnp.float32)                       # [N, 96]
+    C = (rx == cols).astype(jnp.float32)                       # [N, 128]
+    G = lax.dot_general(A, window.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [N, 128]
+    vals = (G * C).sum(axis=-1).reshape(sh)
+    w = (hit[:, None, None, :] & inb).astype(jnp.float32)
+    return (vals * w).sum(axis=-1), hit
+
+
+def match_window(window: jnp.ndarray, wy0, wx0, beams,
+                 x_guess, y_guess, yaw_guess_deg, origin_x, origin_y,
+                 cfg: MapConfig = MapConfig(), tof: TofConfig = TofConfig(),
+                 geom: GridGeom = DEFAULT_GEOM, n_xy: int = 7,
+                 n_yaw: int = 7, xy_step_m: float = 0.05,
+                 yaw_step_deg: float = 1.0) -> MatchResult:
+    """match_scan against a [96, 128] window (padded-grid top-left cell
+    (wy0, wx0)) — cells outside the window read as 0 (unknown), which is
+    exactly the semantics the loop-closure pass needs when matching
+    against a single keyframe's local map."""
+    scores, hit = _score_lattice(window, wy0, wx0, beams, x_guess,
+                                 y_guess, yaw_guess_deg, origin_x,
+                                 origin_y, cfg, tof, geom, n_xy, n_yaw,
+                                 xy_step_m, yaw_step_deg)
+    return _peak_result(scores, hit, x_guess, y_guess, yaw_guess_deg,
+                        xy_step_m, yaw_step_deg)
+
+
 def match_scan(
     padded_grid: jnp.ndarray,
     beams: jnp.ndarray,
@@ -71,28 +144,24 @@ def match_scan(
     Sub-cell refinement: 1-D quadratic fit through the peak along each
     lattice axis.
     """
-    offs_xy = (np.arange(n_xy, dtype=np.float32) - (n_xy - 1) / 2) * _F32(xy_step_m)
-    offs_yaw = (np.arange(n_yaw, dtype=np.float32) - (n_yaw - 1) / 2) * _F32(yaw_step_deg)
+    pcx, pcy = world_to_cell(x_guess, y_guess, origin_x, origin_y,
+                             cfg.res_m, cfg.width // 2, cfg.height // 2)
+    wy0 = jnp.clip(pcy + geom.pad - 48, 0, geom.prows - 96)
+    wx0 = jnp.clip(pcx + geom.pad - 64, 0, geom.pcols - 128)
+    window = lax.dynamic_slice(padded_grid, (wy0, wx0), (96, 128))
+    scores, hit = _score_lattice(window, wy0, wx0, beams, x_guess,
+                                 y_guess, yaw_guess_deg, origin_x,
+                                 origin_y, cfg, tof, geom, n_xy, n_yaw,
+                                 xy_step_m, yaw_step_deg)
 
-    def yaw_endpoints(dyaw):
-        pts, hit = _endpoints_world(beams, x_guess, y_guess,
-                                    yaw_guess_deg + dyaw, tof)
-        return pts, hit
+    return _peak_result(scores, hit, x_guess, y_guess, yaw_guess_deg,
+                        xy_step_m, yaw_step_deg)
 
-    pts, hit = lax.map(yaw_endpoints, jnp.asarray(offs_yaw))   # [Y, 32, 2], [Y, 32]
 
-    # candidate endpoint cells: [Y, 32] base + [Tx] x [Ty] world offsets
-    ex = pts[..., 0][:, None, None, :] + offs_xy[None, :, None, None]
-    ey = pts[..., 1][:, None, None, :] + offs_xy[None, None, :, None]
-    cx, cy = world_to_cell(ex, ey, origin_x, origin_y, cfg.res_m,
-                           cfg.width // 2, cfg.height // 2)
-    inb = (cx >= 0) & (cx < cfg.width) & (cy >= 0) & (cy < cfg.height)
-    cxs = jnp.clip(cx, 0, cfg.width - 1) + geom.pad
-    cys = jnp.clip(cy, 0, cfg.height - 1) + geom.pad
-    vals = padded_grid[cys, cxs].astype(jnp.float32)           # gather
-    w = (hit[:, None, None, :] & inb).astype(jnp.float32)
-    scores = (vals * w).sum(axis=-1)                           # [Y, Tx, Ty]
-
+def _peak_result(scores, hit, x_guess, y_guess, yaw_guess_deg,
+                 xy_step_m: float, yaw_step_deg: float) -> MatchResult:
+    """Argmax over the lattice + per-axis quadratic sub-cell refinement
+    -> MatchResult."""
     flat = scores.reshape(-1)
     best = jnp.argmax(flat)
     Y, TX, TY = scores.shape

@@ -36,8 +36,10 @@ from micro_quad_slam_tpu.ops.raycast import (
     DEFAULT_GEOM,
     GridGeom,
     apply_scan_to_grid,
+    make_rays,
+    window_scan_update,
 )
-from micro_quad_slam_tpu.ops.scanmatch import match_scan
+from micro_quad_slam_tpu.ops.scanmatch import match_scan, match_window
 from micro_quad_slam_tpu.slam.posegraph import (
     add_edges,
     chain_odometry_graph,
@@ -134,6 +136,50 @@ def _map_pass(beams, poses, inited_from, cfg, geom, match: bool,
     return grid, jnp.moveaxis(corrected, 0, 1), (ox0, oy0)
 
 
+def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int,
+                      kf_mask_t, grid0=None, origin0=None):
+    """TPU variant of the match=True _map_pass: identical sequence of
+    matches and grid updates (match keyframe t against the map built so
+    far, then update frames t..t+kf_every-1), but each keyframe interval
+    lands on the grid through ONE resident-kernel launch
+    (pallas_map_chunk) instead of kf_every sequential window
+    read-modify-writes — the per-step batched window IO was ~70% of the
+    SLAM pipeline's cost."""
+    from micro_quad_slam_tpu.ops.pallas_residentx import pallas_map_chunk
+
+    B, T = poses.shape[:2]
+    grids = (jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+             if grid0 is None else grid0)
+    if origin0 is None:
+        ox0, oy0 = poses[:, 0, 0], poses[:, 0, 1]
+    else:
+        ox0, oy0 = origin0
+
+    outs = []
+    for t0 in range(0, T, kf_every):
+        t1 = min(t0 + kf_every, T)
+        x = poses[:, t0, 0]
+        y = poses[:, t0, 1]
+        yaw_deg = jnp.rad2deg(poses[:, t0, 2])
+        res = jax.vmap(
+            lambda g, bb, xi, yi, yi2, oxi, oyi: match_scan(
+                g, bb, xi, yi, yi2, oxi, oyi, cfg.map, cfg.tof, geom)
+        )(grids, beams[:, t0], x, y, yaw_deg, ox0, oy0)
+        ok = res.quality > _F32(3.0)
+        x = jnp.where(ok, res.x, x)
+        y = jnp.where(ok, res.y, y)
+        yaw_deg = jnp.where(ok, res.yaw_deg, yaw_deg)
+
+        cx_ = jnp.concatenate([x[:, None], poses[:, t0 + 1:t1, 0]], axis=1)
+        cy_ = jnp.concatenate([y[:, None], poses[:, t0 + 1:t1, 1]], axis=1)
+        cyaw = jnp.concatenate(
+            [yaw_deg[:, None], jnp.rad2deg(poses[:, t0 + 1:t1, 2])], axis=1)
+        grids = pallas_map_chunk(grids, beams[:, t0:t1], cx_, cy_, cyaw,
+                                 ox0, oy0, cfg, geom)
+        outs.append(jnp.stack([cx_, cy_, jnp.deg2rad(cyaw)], axis=-1))
+    return grids, jnp.concatenate(outs, axis=1), (ox0, oy0)
+
+
 class SlamResult(NamedTuple):
     grid: jnp.ndarray            # drift-corrected map [B, prows, pcols]
     track: jnp.ndarray           # corrected poses [B, T, 3] (rad)
@@ -170,9 +216,18 @@ def slam_replay(frames: dict, cfg: PipelineConfig = UL_PROFILE,
         grid0 = jnp.asarray(state0[0])
         origin0 = (jnp.asarray(state0[1]), jnp.asarray(state0[2]))
 
-    # pass 1: scan-matched mapping
-    _, matched, (ox, oy) = _map_pass(beams, odo, 0, cfg, geom, True,
-                                     kf_mask, grid0=grid0, origin0=origin0)
+    # pass 1: scan-matched mapping — keyframe-chunked resident-kernel
+    # launches on TPU, the sequential scan elsewhere (same match/update
+    # order either way; the chunk update is the bit-exact residentx
+    # map-track kernel)
+    if jax.default_backend() == "tpu":
+        _, matched, (ox, oy) = _map_pass_chunked(
+            beams, odo, cfg, geom, kf_every, kf_mask, grid0=grid0,
+            origin0=origin0)
+    else:
+        _, matched, (ox, oy) = _map_pass(beams, odo, 0, cfg, geom, True,
+                                         kf_mask, grid0=grid0,
+                                         origin0=origin0)
 
     # pass 1b: REAL loop closure — proximity-gated keyframe-to-keyframe
     # revisit matches (VERDICT round-1: the star to node 0 alone only
@@ -194,15 +249,33 @@ def slam_replay(frames: dict, cfg: PipelineConfig = UL_PROFILE,
         i_best = jnp.argmin(cand, axis=0)               # [K] per j
         near = cand[i_best, iidx] < r_max * r_max
 
+        # stage A: raster every keyframe's scan into its own [96, 128]
+        # LOCAL window, once — identical scores to the old
+        # fresh-full-grid raster (cells outside the window are 0 in both
+        # formulations) at ~1/30 the memory traffic.  Kept as a separate
+        # vmapped stage from the matching: fusing raster+match in one
+        # vmapped body compiled to a 7x slower program (the raster chain
+        # got duplicated into the matcher's operand production).
+        def raster(k):
+            pk = kf_pose[k]
+            rays = make_rays(kf_beams_b[k], pk[0], pk[1],
+                             jnp.rad2deg(pk[2]), ox_b, oy_b, True,
+                             cfg.map, cfg.tof)
+            win = window_scan_update(
+                jnp.zeros((geom.win_rows, geom.win_cols), jnp.int8),
+                rays, cfg.map, geom)
+            return (win, rays["pcy"] + geom.pad - geom.win_r,
+                    rays["pcx"] + geom.pad - geom.win_r)
+
+        wins, wy0s, wx0s = jax.vmap(raster)(jnp.arange(K))
+
+        # stage B: match each keyframe j against its revisit candidate's
+        # local map
         def measure(i, j, ok):
-            gi = jnp.zeros((geom.prows, geom.pcols), jnp.int8)
             pi, pj = kf_pose[i], kf_pose[j]
-            gi = apply_scan_to_grid(
-                gi, kf_beams_b[i], pi[0], pi[1], jnp.rad2deg(pi[2]),
-                ox_b, oy_b, True, cfg.map, cfg.tof, geom)
-            res = match_scan(gi, kf_beams_b[j], pj[0], pj[1],
-                             jnp.rad2deg(pj[2]), ox_b, oy_b,
-                             cfg.map, cfg.tof, geom)
+            res = match_window(wins[i], wy0s[i], wx0s[i], kf_beams_b[j],
+                               pj[0], pj[1], jnp.rad2deg(pj[2]), ox_b,
+                               oy_b, cfg.map, cfg.tof, geom)
             pj_corr = jnp.stack([res.x, res.y,
                                  jnp.deg2rad(res.yaw_deg)])
             z = se2_relative(pi, pj_corr)
