@@ -5,9 +5,10 @@ Measures the framework's headline metric (BASELINE.md north star:
 replays, each frame doing beam extraction + gating + a fused map update.
 Default kernel is `residentx` — the BIT-EXACT reference-semantics
 whole-replay kernel (ops/pallas_residentx.py; grids bit-match the golden
-C model).  Set MQS_BENCH_KERNEL=resident_cone for the dense
-inverse-sensor-model production mode (faster still, not bit-exact; its
-map divergence vs the exact path is quantified in PERFORMANCE.md).
+C model).  Set MQS_BENCH_KERNEL=conex for the dense
+inverse-sensor-model production mode (2.3M frames/s, not bit-exact vs
+the reference; its map divergence vs the exact path is quantified in
+PERFORMANCE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the multiple of the reference pipeline's own fused-frame

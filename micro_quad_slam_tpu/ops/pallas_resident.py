@@ -162,15 +162,16 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
                 do_, sy_, sx_)
         )(beamsT, xT, yT, yawT, so["ox"], so["oy"], enabled,
           do_rc, rsy, rsx)
-    elif mode == "exact2":
+    elif mode in ("exact2", "cone2"):
         from micro_quad_slam_tpu.ops.pallas_residentx import (
-            _pack_words_x, pad_frames_to_group)
+            _pack_cone_x, _pack_words_x, pad_frames_to_group)
         args = [beamsT, xT, yT, yawT, so["ox"], so["oy"], enabled,
                 do_rc, rsy, rsx]
         # pad to the kernel's frame-group size with inert frames
         # (enabled=False => every ray invalid; do=False)
         args, _ = pad_frames_to_group(args, T)
-        words = _pack_words_x(*args, cfg.map, cfg.tof, geom)
+        packer = _pack_words_x if mode == "exact2" else _pack_cone_x
+        words = packer(*args, cfg.map, cfg.tof, geom)
     else:
         words = jax.vmap(
             lambda b_, x_, y_, w_, ox_, oy_, en_: _pack_rays(

@@ -24,14 +24,15 @@ the concatenated ray order of the group's frames):
      ray's endpoint anywhere in the group is monotone non-increasing
      through all F frames, so its exact sequentially-clamped value is
      max(v0 - free*count, LO_MIN) with count summed over the WHOLE group;
-  *  an endpoint cell's exact final value is
-     max(min(v0, lo_max - mx), lo_min - mn) + s, where s / mx / mn are
-     the total and the prefix extrema of the cell's delta sequence over
-     the group's rays in order — computed from one [R, R] pairwise block
-     (R = F*32) with one inclusive-triangular matmul and sublane
-     reductions.  Ray->cell membership uses the same closed-form
-     Bresenham ranges as the count pass, with per-ray pose offsets
-     (wx, wy) so frames with different pose cells coexist in one window.
+  *  an endpoint cell's exact final value is min(max(v0 + s, A), B):
+     per-ray clamp-affine maps compose associatively into this med form,
+     so (s, A, B) come from a log2(R)-step tree reduction over one
+     [R, R] pairwise delta block (R = F*32) — exact for ARBITRARY delta
+     sequences, including cells whose unclamped swing crosses the full
+     clamp range (where prefix-extrema shortcuts break).  Ray->cell
+     membership uses the same closed-form Bresenham ranges as the count
+     pass, with per-ray pose offsets (wx, wy) so frames with different
+     pose cells coexist in one window.
 
 A group takes this merged fast path when every frame's ray window fits
 one [96, 128] lane window of one [96, 256] slab and no frame after the
@@ -40,9 +41,9 @@ processing (same primitives with 32-ray slices).  The schedule decides
 per group and ships the decision in the aux words.
 
 All window-domain results ride packed i32 bitfields through ONE roll per
-group: W1 = cnt:10 | mask:1 | s+2048:12, W2 = mx:12 | -mn:12 (ranges
-exact for <= 256 rays).  Scatter matmul operands are split into byte
-pieces so every bf16 product is exact.
+group: W1 = cnt:10 | mask:1 | s+2048:12, W2 = (A-lo):8 | (B-lo):8
+(ranges exact for <= 256 rays).  Scatter matmul operands are split into
+byte pieces so every bf16 product is exact.
 
 Frames with no valid rays skip their work behind scalar branches.
 Bit-exactness vs the XLA path (and the golden C model) is asserted in
@@ -125,6 +126,56 @@ def _magic_of(d):
 # schedule side
 # ----------------------------------------------------------------------
 
+def _group_header(pcy_p, pcx_p, active, do_f, g: int, F: int, B: int,
+                  geom: GridGeom):
+    """Group fast-path decision + alignment, shared by the exact and cone
+    group packers.  pcy_p/pcx_p: padded-grid pose cells [T*B]; active:
+    i32 [T*B] (frames that will touch the grid); do_f: recenter flags.
+    Returns dict with fast/r0g/c0g/cwl [g, B] and cyg/cxg [g, F, B]
+    (pose cells in group-slab coords)."""
+    R = geom.win_r
+    awc = 2 * geom.win_cols
+    gview = lambda a: a.reshape(g, F, B)
+    r0a = ((pcy_p - R) // 8) * 8
+    c0a = ((pcx_p - R) // 128) * 128
+    pcy, pcx = gview(pcy_p), gview(pcx_p)
+    anyg = gview(active) != 0
+    # group alignment from the lowest-aligned ACTIVE frame (the fit
+    # condition below validates whatever we pick)
+    big = jnp.int32(1 << 20)
+    r0g = jnp.min(jnp.where(anyg, gview(r0a), big), axis=1)       # [g, B]
+    c0g = jnp.min(jnp.where(anyg, gview(c0a), big), axis=1)
+    cyg = pcy - r0g[:, None]          # pose row in group slab  [g, F, B]
+    cxg = pcx - c0g[:, None]          # pose lane in group slab
+    rows_ok = (cyg >= R) & (cyg + R < geom.win_rows)
+    mincx = jnp.min(jnp.where(anyg, cxg, big), axis=1)            # [g, B]
+    maxcx = jnp.max(jnp.where(anyg, cxg, -big), axis=1)
+    cwl = jnp.maximum(mincx - R, 0)                               # [g, B]
+    lanes_ok = ((maxcx - mincx <= geom.win_cols - 2 * R - 1)
+                & (mincx >= R) & (maxcx + R < awc)
+                & (cwl <= geom.win_cols))    # rolled window must not wrap
+    rows_all = jnp.all(rows_ok | ~anyg, axis=1)
+    group_any = jnp.any(anyg, axis=1)
+    no_late_rc = ~jnp.any(gview(do_f)[:, 1:] != 0, axis=1)
+    fast = (rows_all & lanes_ok & no_late_rc & group_any).astype(jnp.int32)
+    fast = jnp.where(group_any, fast, 1)   # empty groups: trivial fast
+    return {"fast": fast, "r0g": r0g, "c0g": c0g, "cwl": cwl,
+            "group_any": group_any.astype(jnp.int32),
+            "cyg": cyg, "cxg": cxg}
+
+
+def _pack_aux(r0a, c0a, cy_s, cx_s, do_f, rsy, rsx, active, hdr,
+              g: int, F: int, B: int):
+    """aux i32 [g, B, 1, 8F+8]: per-frame octets + group header."""
+    auxf = jnp.stack([r0a, c0a, cy_s, cx_s, do_f, rsy, rsx, active],
+                     axis=-1)                            # [TB, 8]
+    auxf = jnp.moveaxis(auxf.reshape(g, F, B, 8), 1, 2).reshape(g, B, F * 8)
+    z = jnp.zeros_like(hdr["fast"])
+    auxg = jnp.stack([hdr["fast"], hdr["r0g"], hdr["c0g"], hdr["cwl"],
+                      hdr["group_any"], z, z, z], axis=-1)
+    return jnp.concatenate([auxf, auxg], axis=-1)[:, :, None, :]
+
+
 def _pack_words_x(beamsT, xT, yT, yawT, oxT, oyT, enabledT, doT, rsyT,
                   rsxT, cfg: MapConfig, tof: TofConfig, geom: GridGeom,
                   F: int = GROUP_F):
@@ -159,46 +210,19 @@ def _pack_words_x(beamsT, xT, yT, yawT, oxT, oyT, enabledT, doT, rsyT,
     anyv = val.any(axis=1).astype(jnp.int32)             # [TB]
     do_f = flat(doT).astype(jnp.int32)
 
-    # --- group header: fast-path decision + group alignment -----------
-    gview = lambda a: a.reshape(g, F, B)
-    pcy, pcx = gview(rays["pcy"] + geom.pad), gview(rays["pcx"] + geom.pad)
-    anyg = gview(anyv) != 0
-    # group alignment from the lowest-aligned VALID frame (the fit
-    # condition below validates whatever we pick)
-    big = jnp.int32(1 << 20)
-    r0g = jnp.min(jnp.where(anyg, gview(r0a), big), axis=1)       # [g, B]
-    c0g = jnp.min(jnp.where(anyg, gview(c0a), big), axis=1)
-    cyg = pcy - r0g[:, None]          # pose row in group slab  [g, F, B]
-    cxg = pcx - c0g[:, None]          # pose lane in group slab
-    rows_ok = (cyg >= R) & (cyg + R < geom.win_rows)
-    mincx = jnp.min(jnp.where(anyg, cxg, big), axis=1)            # [g, B]
-    maxcx = jnp.max(jnp.where(anyg, cxg, -big), axis=1)
-    cwl = jnp.maximum(mincx - R, 0)                               # [g, B]
-    lanes_ok = ((maxcx - mincx <= geom.win_cols - 2 * R - 1)
-                & (mincx >= R) & (maxcx + R < awc)
-                & (cwl <= geom.win_cols))    # rolled window must not wrap
-    rows_all = jnp.all(rows_ok | ~anyg, axis=1)
-    group_any = jnp.any(anyg, axis=1)
-    no_late_rc = ~jnp.any(gview(do_f)[:, 1:] != 0, axis=1)
-    fast = (rows_all & lanes_ok & no_late_rc & group_any).astype(jnp.int32)
-    fast = jnp.where(group_any, fast, 1)   # empty groups: trivial fast
+    hdr = _group_header(rays["pcy"] + geom.pad, rays["pcx"] + geom.pad,
+                        anyv, do_f, g, F, B, geom)
+    aux = _pack_aux(r0a, c0a, cy_s, cx_s, do_f, flat(rsyT), flat(rsxT),
+                    anyv, hdr, g, F, B)
 
     # per-ray pose offsets in the group count window (fast path); the
     # fallback path substitutes win_r / cy_s in-kernel.  Clip keeps the
     # shipped values bf16-exact even when a garbage pose fails the fit
     # test (fast goes 0 then anyway).
-    wx = jnp.clip(cxg - cwl[:, None], 0, 255).reshape(T * B)
-    wy = jnp.clip(cyg, 0, 255).reshape(T * B)
+    wx = jnp.clip(hdr["cxg"] - hdr["cwl"][:, None], 0, 255).reshape(T * B)
+    wy = jnp.clip(hdr["cyg"], 0, 255).reshape(T * B)
     wx = jnp.broadcast_to(wx[:, None], (T * B, 32))
     wy = jnp.broadcast_to(wy[:, None], (T * B, 32))
-
-    auxf = jnp.stack([r0a, c0a, cy_s, cx_s, do_f,
-                      flat(rsyT), flat(rsxT), anyv], axis=-1)     # [TB, 8]
-    auxf = jnp.moveaxis(auxf.reshape(g, F, B, 8), 1, 2).reshape(g, B, F * 8)
-    z = jnp.zeros_like(fast)
-    auxg = jnp.stack([fast, r0g, c0g, cwl,
-                      group_any.astype(jnp.int32), z, z, z], axis=-1)
-    aux = jnp.concatenate([auxf, auxg], axis=-1)[:, :, None, :]
 
     # --- word blocks: ONE one-hot placement matmul on the MXU ---------
     # (concat/pad/.at/select-chains all cost 10x+ more here — each
@@ -307,19 +331,27 @@ def _count_pass(wv2, wx_c, wy_c, geom: GridGeom):
 
 def _pair_fixup(wv2, exa_r, eya_r, val_r, wx_c, wy_c, free: int,
                 lo_min: int, lo_max: int):
-    """Exact Skorokhod terms for every ray endpoint from one [R, R]
-    all-i32 pairwise block (acting ray j on sublanes, endpoint i on
-    lanes).  exa_r/eya_r [1, R]: endpoint cells in window coords;
+    """EXACT clamp-composition terms for every ray endpoint from one
+    [R, R] all-i32 pairwise block (acting ray j on sublanes, endpoint i
+    on lanes).  exa_r/eya_r [1, R]: endpoint cells in window coords;
     val_r [1, R] bool; wx_c/wy_c [R, 1] pose offsets.  Returns
-    (yi_row, xi_col, s_row, mx_row, mn_row): endpoint window row [1, R]
-    (keep-masked to 1000), window lane [R, 1] f32, and f32 rows with
-    final_i = max(min(v0_i, lo_max - mx_i), lo_min - mn_i) + s_i.
+    (yi_row, xi_col, s_row, a_row, b_row): endpoint window row [1, R]
+    (keep-masked to 1000), window lane [R, 1] f32, and i32 rows with
+    final_i = min(max(v0_i + s_i, a_i), b_i).
 
     d[j, i] is ray j's delta at ray i's endpoint cell via the same
     closed-form membership the count pass uses (exact magic division, in
-    ray j's pose-relative coordinates); prefix sums over the ray order
-    come from one inclusive-triangular matmul, prefix extrema from
-    sublane reductions (see ops/raycast.py's derivation)."""
+    ray j's pose-relative coordinates).  Every per-ray update is the
+    clamp-affine map v -> clip(v + d, lo_min, lo_max); such maps compose
+    associatively into the med form min(max(v + s, A), B), so one
+    log2(R)-step tree reduction over the ray axis yields the EXACT
+    sequential result for ARBITRARY delta sequences.  (The lighter
+    prefix-extrema form max(min(v0, hi-mx), lo-mn)+s — used by the
+    per-frame XLA path, where the <= 8-hits-per-cell fan geometry bounds
+    any cell's unclamped swing below the clamp range — is NOT exact once
+    a cell can swing past the full range, which a multi-frame group
+    makes reachable: ~27 same-cell hits.  Caught by
+    test_residentx_group_saturating_endpoint.)"""
     f32 = jnp.float32
     Rr = wv2.shape[0]
     c = lambda k: wv2[0:Rr, k:k + 1]                     # [R, 1] i32
@@ -341,33 +373,45 @@ def _pair_fixup(wv2, exa_r, eya_r, val_r, wx_c, wy_c, free: int,
     ok_y = (ky >= 0) & (ky <= dy_c) & (~xmaj) & val_c
     member = (ok_x & (ky == q1)) | (ok_y & (kx == q2))
     is_end = (exa_c == exa_r) & (eya_c == eya_r) & val_c
-    d = jnp.where(is_end, ed_c.astype(f32),
-                  jnp.where(member, f32(-free), f32(0)))  # [R, R]
+    d = jnp.where(is_end, ed_c,
+                  jnp.where(member, -free, 0))           # [R, R] i32
+
+    # tree-reduce the ordered composition clip(.+d_R)o...oclip(.+d_1):
+    # state (s, A, B) means v -> min(max(v + s, A), B); combining an
+    # earlier map (1) with a later map (2):
+    #   s' = s1+s2,  A' = med(A1+s2, A2, B2),  B' = med(B1+s2, A2, B2)
+    sA = d
+    aA = jnp.broadcast_to(jnp.int32(lo_min), d.shape)
+    bA = jnp.broadcast_to(jnp.int32(lo_max), d.shape)
+    n = Rr
+    while n > 1:
+        h = n // 2
+        s1, a1, b1 = sA[0:h], aA[0:h], bA[0:h]
+        s2, a2, b2 = sA[h:n], aA[h:n], bA[h:n]
+        sA = s1 + s2
+        aA = jnp.minimum(jnp.maximum(a1 + s2, a2), b2)
+        bA = jnp.minimum(jnp.maximum(b1 + s2, a2), b2)
+        n = h
+    s_row, a_row, b_row = sA, aA, bA                     # [1, R] i32
 
     jj = lax.broadcasted_iota(jnp.int32, (Rr, Rr), 0)
     ii = lax.broadcasted_iota(jnp.int32, (Rr, Rr), 1)
-    tri = jnp.where(jj <= ii, f32(1), f32(0))            # inclusive prefix
-    s_all = lax.dot_general(tri, d, (((0,), (0,)), ((), ())),
-                            preferred_element_type=f32)  # [R(k), R(i)]
-    s_row = s_all[Rr - 1:Rr, :]
-    mx_row = jnp.maximum(jnp.max(s_all, axis=0, keepdims=True), f32(0))
-    mn_row = jnp.minimum(jnp.min(s_all, axis=0, keepdims=True), f32(0))
-
     dup = jnp.any(is_end & val_r & (jj > ii), axis=0)[None, :]
     keep = val_r & ~dup
     yi_row = jnp.where(keep, eya_r, 1000)
     xi_col = exa_c.astype(f32)
-    return yi_row, xi_col, s_row, mx_row, mn_row
+    return yi_row, xi_col, s_row, a_row, b_row
 
 
 def _fix_pass(wv2, exa_r, eya_r, val_r, wx_c, wy_c, cfg: MapConfig,
               geom: GridGeom):
     """Endpoint fix-up scatter on the [96, 128] window: returns
-    (MASK, S, MX, MN) i32 — MASK != 0 marks valid-ray endpoint cells
-    (deduped); there final = max(min(v0, lo_max-MX), lo_min-MN) + S — as
-    independent one-hot matmuls.  Values can reach 6R+6, so each is
-    split into byte pieces (products stay bf16-exact) and recombined."""
-    yi_row, xi_col, s_row, mx_row, mn_row = _pair_fixup(
+    (MASK, S, A, B) i32 — MASK != 0 marks valid-ray endpoint cells
+    (deduped); there final = min(max(v0 + S, A), B) — as independent
+    one-hot matmuls.  S can reach 6R+6 and is split into byte pieces so
+    every bf16 product is exact; A and B are within the clamp range and
+    ship as single biased bytes."""
+    yi_row, xi_col, s_row, a_row, b_row = _pair_fixup(
         wv2, exa_r, eya_r, val_r, wx_c, wy_c, cfg.lo_free_dec,
         cfg.lo_min, cfg.lo_max)
     f32 = jnp.float32
@@ -380,32 +424,33 @@ def _fix_pass(wv2, exa_r, eya_r, val_r, wx_c, wy_c, cfg: MapConfig,
 
     dot = lambda a: lax.dot_general(a, m2f, (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32)
-    sp = lambda v: (jnp.floor(v * f32(1 / 256)), v % f32(256))
-    s_h, s_l = sp(s_row + f32(2048))
-    mx_h, mx_l = sp(mx_row)
-    mn_h, mn_l = sp(-mn_row)
     i32 = lambda a: a.astype(jnp.int32)
+    s2f = (s_row + 2048).astype(f32)
+    s_h = jnp.floor(s2f * f32(1 / 256))
+    s_l = s2f - s_h * f32(256)
+    af_b = (a_row - cfg.lo_min).astype(f32)              # [0, range]
+    bf_b = (b_row - cfg.lo_min).astype(f32)
     mask = i32(dot(af))
     s_map = i32(dot(af * s_l)) + 256 * i32(dot(af * s_h)) - 2048
-    mx_map = i32(dot(af * mx_l)) + 256 * i32(dot(af * mx_h))
-    mn_map = -(i32(dot(af * mn_l)) + 256 * i32(dot(af * mn_h)))
-    return mask, s_map, mx_map, mn_map
+    a_map = i32(dot(af * af_b)) + cfg.lo_min
+    b_map = i32(dot(af * bf_b)) + cfg.lo_min
+    return mask, s_map, a_map, b_map
 
 
 def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
                 cfg: MapConfig, geom: GridGeom):
     """Full window update for R rays on the [96, 256] aligned slab (in
     place): count + endpoint fix-up, packed into two i32 bitfield words
-    (W1 = cnt:10 | mask:1 | s+2048:12; W2 = mx:12 | -mn:12 — ranges
+    (W1 = cnt:10 | mask:1 | s+2048:12; W2 = (A-lo):8 | (B-lo):8 — ranges
     exact for R <= 256 rays) and moved to slab lane coordinates with ONE
     dynamic roll of the stacked [2*96, 256] pair.  cwl: window lane base
-    within the slab (mask fields are positive, so the arithmetic >>
+    within the slab (all fields are positive, so the arithmetic >>
     unpacking stays exact)."""
     cnt = _count_pass(wv2, wx_c, wy_c, geom)
-    mask, s_map, mx_map, mn_map = _fix_pass(wv2, exa_r, eya_r, val_r,
-                                            wx_c, wy_c, cfg, geom)
+    mask, s_map, a_map, b_map = _fix_pass(wv2, exa_r, eya_r, val_r,
+                                          wx_c, wy_c, cfg, geom)
     w1 = cnt | mask << 10 | (s_map + 2048) << 11
-    w2 = mx_map | (-mn_map) << 12
+    w2 = (a_map - cfg.lo_min) | (b_map - cfg.lo_min) << 8
     wr = geom.win_rows
     both = jnp.concatenate(
         [jnp.pad(w1, ((0, 0), (0, geom.win_cols))),
@@ -416,12 +461,11 @@ def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
     slab0 = slab[...].astype(jnp.int32)
     cnt2 = w1r & 0x3FF
     s2 = ((w1r >> 11) & 0xFFF) - 2048
-    mx2 = w2r & 0xFFF
-    mn2 = -((w2r >> 12) & 0xFFF)
+    a2 = (w2r & 0xFF) + jnp.int32(cfg.lo_min)
+    b2 = ((w2r >> 8) & 0xFF) + jnp.int32(cfg.lo_min)
     base = jnp.maximum(slab0 - cnt2 * jnp.int32(cfg.lo_free_dec),
                        jnp.int32(cfg.lo_min))
-    fix = (jnp.maximum(jnp.minimum(slab0, jnp.int32(cfg.lo_max) - mx2),
-                       jnp.int32(cfg.lo_min) - mn2) + s2)
+    fix = jnp.minimum(jnp.maximum(slab0 + s2, a2), b2)
     out = jnp.where((w1r & 0x400) != 0, fix, base)
     slab[...] = out.astype(jnp.int8)
 
@@ -664,3 +708,285 @@ def _map_chunk_jit(grids, beams, x, y, yaw_deg, origin_x, origin_y,
     args, _ = pad_frames_to_group(args, C)
     aux, words = _pack_words_x(*args, cfg.map, cfg.tof, geom)
     return _residentx_call(aux, words, grids, cfg.map, geom, interpret)
+
+
+# ----------------------------------------------------------------------
+# cone mode, grouped ("conex"): dense inverse-sensor-model production
+# path with F frames per program.  Per frame the transcendental-free
+# classifier (ops/conemode.cone_cell_delta) yields a whole-window delta;
+# the group merge folds the per-frame clamp-affine maps v -> clip(v+d)
+# into ONE exact med form min(max(v0+s, A), B) per cell (same
+# composition the exact kernel's fix-up uses — exact for arbitrary
+# sequences).  Window work runs directly at the group window's offset
+# (the classifier only needs the pose->corner fractional offsets, so the
+# roll-compaction the v1 cone kernel paid per frame is gone); ONE packed
+# roll per group places the result on the slab.  Bit-identical to
+# scanning the XLA cone path per frame: each per-cell (col + oxc) /
+# (row + oyc) sum has the same exact-operand single-rounding value in
+# either coordinate frame.
+# ----------------------------------------------------------------------
+
+def _pack_cone_x(beamsT, xT, yT, yawT, oxT, oyT, enabledT, doT, rsyT,
+                 rsxT, cfg: MapConfig, tof: TofConfig, geom: GridGeom,
+                 F: int = GROUP_F):
+    """Cone-mode group packer: [T, B] inputs (T a multiple of F) ->
+    (aux i32 [g, B, 1, 8F+8], fwords f32 [g, B, 1, F*128]).  Per-frame
+    f32 lanes: 0..31 packed beam returns, 32 ux, 33 uy, 34/35 group
+    oxc/oyc, 36/37 per-frame (fallback) oxc/oyc."""
+    from micro_quad_slam_tpu.ops.conemode import fan_basis, pack_beams
+    from micro_quad_slam_tpu.ops.raycast import world_to_cell
+
+    T, B = xT.shape
+    assert T % F == 0, (T, F)
+    g = T // F
+    R = geom.win_r
+    flat = lambda a: a.reshape((T * B,) + a.shape[2:])
+    x, y, yaw = flat(xT), flat(yT), flat(yawT)
+    ox, oy = flat(oxT), flat(oyT)
+    pcx, pcy = world_to_cell(x, y, ox, oy, cfg.res_m,
+                             cfg.width // 2, cfg.height // 2)
+    pose_in = ((pcx >= 0) & (pcx < cfg.width)
+               & (pcy >= 0) & (pcy < cfg.height))
+    en = (flat(enabledT) & pose_in).astype(jnp.int32)
+    pcx = jnp.clip(pcx, 0, cfg.width - 1)
+    pcy = jnp.clip(pcy, 0, cfg.height - 1)
+    pcy_p, pcx_p = pcy + geom.pad, pcx + geom.pad
+    r0a = ((pcy_p - R) // 8) * 8
+    c0a = ((pcx_p - R) // 128) * 128
+    cy_s = pcy_p - r0a
+    cx_s = pcx_p - c0a
+    do_f = flat(doT).astype(jnp.int32)
+
+    hdr = _group_header(pcy_p, pcx_p, en, do_f, g, F, B, geom)
+    aux = _pack_aux(r0a, c0a, cy_s, cx_s, do_f, flat(rsyT), flat(rsxT),
+                    en, hdr, g, F, B)
+
+    res = np.float32(cfg.res_m)
+    fx = (x - ox) / res + np.float32(cfg.width // 2)
+    fy = (y - oy) / res + np.float32(cfg.height // 2)
+    # fractional pose->window-corner offsets; every (col + oxc) sum is
+    # the same exact value whichever corner the kernel classifies from
+    c0g_l = jnp.broadcast_to(
+        (hdr["c0g"] + hdr["cwl"] - geom.pad)[:, None, :],
+        (g, F, B)).reshape(T * B)
+    r0g_l = jnp.broadcast_to((hdr["r0g"] - geom.pad)[:, None, :],
+                             (g, F, B)).reshape(T * B)
+    oxc_g = c0g_l.astype(jnp.float32) - fx
+    oyc_g = r0g_l.astype(jnp.float32) - fy
+    oxc_f = (pcx - R).astype(jnp.float32) - fx
+    oyc_f = (r0a - geom.pad).astype(jnp.float32) - fy
+
+    ux, uy = fan_basis(yaw, tof)
+    packed = pack_beams(flat(beamsT).reshape(T * B, 32), tof)
+    fw = jnp.concatenate(
+        [packed, ux[:, None], uy[:, None], oxc_g[:, None], oyc_g[:, None],
+         oxc_f[:, None], oyc_f[:, None],
+         jnp.zeros((T * B, 128 - 38), jnp.float32)], axis=-1)
+    fw = jnp.moveaxis(fw.reshape(g, F, B, 128), 1, 2)
+    return aux, fw.reshape(g, B, 1, F * 128)
+
+
+def _cone_fold(fwv, en_of, frames_idx, oxc_slot, oyc_slot, base_gy,
+               base_gx, cfg: MapConfig, tof, cone, geom: GridGeom):
+    """Fold the listed frames' cone deltas into the exact composed clamp
+    map (s, A, B) on the [96, 128] window whose corner sits at logical
+    cell (base_gy, base_gx).  fwv(f, k): f32 scalar reader; en_of(f):
+    i32 enable scalar."""
+    rowsf = lax.broadcasted_iota(
+        jnp.int32, (geom.win_rows, 1), 0).astype(jnp.float32)
+    colsf = lax.broadcasted_iota(
+        jnp.int32, (1, geom.win_cols), 1).astype(jnp.float32)
+    rows = lax.broadcasted_iota(jnp.int32, (geom.win_rows, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, geom.win_cols), 1)
+    gy = rows + base_gy
+    gx = cols + base_gx
+    bounds = (jnp.where((gy >= 0) & (gy < geom.height), 1, 0)
+              * jnp.where((gx >= 0) & (gx < geom.width), 1, 0))
+
+    from micro_quad_slam_tpu.ops.conemode import cone_cell_delta
+
+    lo, hi = jnp.int32(cfg.lo_min), jnp.int32(cfg.lo_max)
+    sS = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
+    aS = jnp.full((geom.win_rows, geom.win_cols), cfg.lo_min, jnp.int32)
+    bS = jnp.full((geom.win_rows, geom.win_cols), cfg.lo_max, jnp.int32)
+    for f in frames_idx:
+        packed = [fwv(f, i) for i in range(32)]
+        delta = cone_cell_delta(rowsf, colsf, fwv(f, oxc_slot),
+                                fwv(f, oyc_slot), cfg.res_m,
+                                fwv(f, 32), fwv(f, 33), packed, tof, cone)
+        delta = delta * bounds * en_of(f)
+        sS = sS + delta
+        aS = jnp.minimum(jnp.maximum(aS + delta, lo), hi)
+        bS = jnp.minimum(jnp.maximum(bS + delta, lo), hi)
+    return sS, aS, bS
+
+
+def _cone_apply(sS, aS, bS, slab, shift, cfg: MapConfig, geom: GridGeom):
+    """Pack (s+512):10 | (A-lo):8 | (B-lo):8 | touched:1, roll the
+    [96, 256]-padded word by `shift` lanes, unpack and apply
+    min(max(v0+s, A), B) on the slab (identity off the window)."""
+    word = ((sS + 512) | (aS - cfg.lo_min) << 10
+            | (bS - cfg.lo_min) << 18 | 1 << 26)
+    w256 = pltpu.roll(
+        jnp.pad(word, ((0, 0), (0, geom.win_cols))), shift, 1)
+    slab0 = slab[...].astype(jnp.int32)
+    s2 = (w256 & 0x3FF) - 512
+    a2 = ((w256 >> 10) & 0xFF) + jnp.int32(cfg.lo_min)
+    b2 = ((w256 >> 18) & 0xFF) + jnp.int32(cfg.lo_min)
+    out = jnp.minimum(jnp.maximum(slab0 + s2, a2), b2)
+    out = jnp.where((w256 & (1 << 26)) != 0, out, slab0)
+    slab[...] = out.astype(jnp.int8)
+
+
+def _conex_kernel(ws_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
+                  sem_g, sem_w, sem_o, *, geom: GridGeom, cfg: MapConfig,
+                  tof, cone, ng: int, F: int):
+    """ws_ref: SMEM i32 [1, 1, 1, 8F+8]; fw_ref: SMEM f32
+    [1, 1, 1, F*128]; grid_ref/out_ref: ANY i8 (aliased); vgrid/slab:
+    VMEM scratch."""
+    from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
+
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+    A_ = lambda f, k: ws_ref[0, 0, 0, 8 * f + k]
+    G = lambda k: ws_ref[0, 0, 0, 8 * F + k]
+    fwv = lambda f, k: fw_ref[0, 0, 0, 128 * f + k]
+    en_of = lambda f: A_(f, _A_ANY)
+    wr, wc = geom.win_rows, geom.win_cols
+    awc = 2 * wc
+
+    @pl.when(t == 0)
+    def _():
+        cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
+        cp.start()
+        cp.wait()
+
+    @pl.when(A_(0, _A_DO) != 0)
+    def _():
+        _recenter_in_vmem(vgrid, A_(0, _A_RSY), A_(0, _A_RSX), geom)
+
+    @pl.when((G(_G_FAST) != 0) & (G(_G_ANY) != 0))
+    def _():
+        r0g = pl.multiple_of(G(_G_R0G), 8)
+        c0g = pl.multiple_of(G(_G_C0G), 128)
+        cp = pltpu.make_async_copy(
+            vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], slab, sem_w)
+        cp.start()
+        cp.wait()
+        base_gy = r0g - geom.pad
+        base_gx = c0g + G(_G_CWL) - geom.pad
+        sS, aS, bS = _cone_fold(fwv, en_of, range(F), 34, 35, base_gy,
+                                base_gx, cfg, tof, cone, geom)
+        _cone_apply(sS, aS, bS, slab, G(_G_CWL), cfg, geom)
+        cp = pltpu.make_async_copy(
+            slab, vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], sem_w)
+        cp.start()
+        cp.wait()
+
+    @pl.when(G(_G_FAST) == 0)
+    def _():
+        for f in range(F):
+            if f > 0:
+                @pl.when(A_(f, _A_DO) != 0)
+                def _():
+                    _recenter_in_vmem(vgrid, A_(f, _A_RSY),
+                                      A_(f, _A_RSX), geom)
+
+            @pl.when(A_(f, _A_ANY) != 0)
+            def _():
+                r0a = pl.multiple_of(A_(f, _A_R0A), 8)
+                c0a = pl.multiple_of(A_(f, _A_C0A), 128)
+                cx_s = A_(f, _A_CXS)
+                cp = pltpu.make_async_copy(
+                    vgrid.at[pl.ds(r0a, wr), pl.ds(c0a, awc)], slab,
+                    sem_w)
+                cp.start()
+                cp.wait()
+                base_gy = r0a - geom.pad
+                base_gx = c0a + (cx_s - geom.win_r) - geom.pad
+                sS, aS, bS = _cone_fold(fwv, en_of, [f], 36, 37,
+                                        base_gy, base_gx, cfg, tof,
+                                        cone, geom)
+                _cone_apply(sS, aS, bS, slab, cx_s - geom.win_r, cfg,
+                            geom)
+                cp = pltpu.make_async_copy(
+                    slab, vgrid.at[pl.ds(r0a, wr), pl.ds(c0a, awc)],
+                    sem_w)
+                cp.start()
+                cp.wait()
+
+    @pl.when(t == ng - 1)
+    def _():
+        cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
+        cp.start()
+        cp.wait()
+
+
+def pallas_replay_conex(frames: dict, cfg: PipelineConfig = UL_PROFILE,
+                        geom: GridGeom = DEFAULT_GEOM,
+                        interpret: bool | None = None, state0=None):
+    """Whole-replay grouped cone kernel: same contract as
+    pallas_replay_resident(mode="cone") — bit-identical to the XLA cone
+    path — at F frames per program (see module notes above)."""
+    from micro_quad_slam_tpu.ops.pallas_resident import _check_vmem_fit
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _check_vmem_fit(geom)
+    return _replay_conex_jit(frames, cfg, geom, interpret, state0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _replay_conex_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
+                      interpret: bool, state0=None):
+    from micro_quad_slam_tpu.ops.pallas_resident import _schedule
+    from micro_quad_slam_tpu.replay.mapping import MappingState
+
+    B, T = frames["x_m"].shape
+    (aux, fwords), outs, (ox, oy, inited, filt) = _schedule(
+        frames, cfg, geom, "cone2", state0)
+    if state0 is not None:
+        grids = state0.grid
+    else:
+        grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+
+    grid_out = _conex_call(aux, fwords, grids, cfg.map, cfg.tof, geom,
+                           interpret)
+    state = MappingState(grid=grid_out, origin_x=ox, origin_y=oy,
+                         inited=inited, filt=filt)
+    outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}
+    return state, outs
+
+
+def _conex_call(aux, fwords, grids, map_cfg: MapConfig, tof,
+                geom: GridGeom, interpret: bool):
+    from micro_quad_slam_tpu.ops.conemode import ConeConfig
+
+    B = grids.shape[0]
+    g = aux.shape[0]
+    F = fwords.shape[-1] // 128
+    kernel = functools.partial(_conex_kernel, geom=geom, cfg=map_cfg,
+                               tof=tof, cone=ConeConfig(), ng=g, F=F)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, g),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 8 * F + 8), lambda b, t: (t, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, 128 * F), lambda b, t: (t, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(grids.shape, jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
+            pltpu.VMEM((geom.win_rows, 2 * geom.win_cols), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(aux, fwords, grids)

@@ -234,10 +234,16 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
             f"must continue the same batch)")
     if kernel == "residentx":
         # v2 exact whole-replay kernel: range-form membership + endpoint
-        # fix-up (ops/pallas_residentx.py)
+        # fix-up, F frames per program (ops/pallas_residentx.py)
         from micro_quad_slam_tpu.ops.pallas_residentx import (
             pallas_replay_residentx)
         return pallas_replay_residentx(frames, cfg, geom, state0=state0)
+    if kernel == "conex":
+        # grouped cone production kernel (ops/pallas_residentx.py);
+        # bit-identical to the XLA "cone" path
+        from micro_quad_slam_tpu.ops.pallas_residentx import (
+            pallas_replay_conex)
+        return pallas_replay_conex(frames, cfg, geom, state0=state0)
     if kernel in ("resident", "resident_cone"):
         # whole replay in ONE pallas launch: grid resident in VMEM per
         # quad, schedule precomputed by a grid-free scalar scan

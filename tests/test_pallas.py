@@ -199,3 +199,91 @@ def test_resident_cl_profile_state_enum():
     np.testing.assert_array_equal(np.asarray(outs_r["used"]),
                                   np.asarray(outs_x["used"]))
     assert np.asarray(outs_x["used"]).any()  # state 6 = CL LANDING, maps
+
+
+def test_residentx_group_saturating_endpoint():
+    """A cell hammered with +6 hits every frame of a group can swing past
+    the full clamp range within the group's 256-ray window; the
+    prefix-extrema fix-up shortcut (exact for single frames, where fan
+    geometry bounds any cell to <= 8 hits) silently mis-clamps there.
+    The exact clamp-composition tree reduce must match the per-frame XLA
+    path bit-for-bit.  (Scenario: hovering ~7 cm from a wall — every
+    front-sensor beam ends in the same one or two cells, 16 frames.)"""
+    from micro_quad_slam_tpu.ops.pallas_residentx import pallas_replay_residentx
+    from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    B, T = 2, 16
+    grid_mm = np.full((B, T, 4, 8, 8), 0xFFFF, np.uint16)
+    grid_mm[0, :, 0] = 70      # front sensor: all 64 zones at 7 cm
+    grid_mm[1, :, 0] = 70
+    grid_mm[1, :, 1] = 90      # quad 1 also hammers the right sensor
+    frames = {
+        "grid_mm": grid_mm,
+        "x_m": np.zeros((B, T), np.float32),
+        "y_m": np.zeros((B, T), np.float32),
+        "yaw_deg": np.zeros((B, T), np.float32),
+        "of_q": np.full((B, T), 200, np.int32),
+        "of_rate_x": np.zeros((B, T), np.float32),
+        "sys_health": np.zeros((B, T), np.int64),
+        "state": np.full((B, T), 5, np.uint8),   # HOVER from frame 0
+    }
+    st_x, outs_x = replay_mapping_batched(frames, UL_PROFILE)
+    st_r, outs_r = pallas_replay_residentx(frames, UL_PROFILE,
+                                           interpret=True)
+    gx = np.asarray(st_x.grid)
+    # the scenario really does drive cells to saturation
+    assert gx.max() == UL_PROFILE.map.lo_max
+    np.testing.assert_array_equal(np.asarray(st_r.grid), gx)
+
+
+def test_conex_replay_bit_matches_xla_cone_with_recenter():
+    """Grouped cone kernel (interpret): bit-equal grids vs the XLA cone
+    path, mid-flight recentering (fallback groups) included."""
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    logs = [
+        synth_room_scanlog(n_frames=24, seed=3, noise_mm=5.0, dropout_p=0.05),
+        synth_room_scanlog(n_frames=24, seed=7, noise_mm=4.0),
+        synth_room_scanlog(n_frames=24, seed=11, state=1),  # never inits
+    ]
+    frames = [scanlog_to_arrays(lg) for lg in logs]
+    batched = {k: np.stack([f[k] for f in frames]) for k in frames[0]}
+    T = batched["x_m"].shape[1]
+    batched["x_m"][1] = np.linspace(0.0, 34.0, T, dtype=np.float32)
+    batched["y_m"][1] = np.linspace(0.0, -21.0, T, dtype=np.float32)
+
+    st_c, outs_c = replay_mapping_batched(batched, UL_PROFILE,
+                                          kernel="cone")
+    st_x, outs_x = replay_mapping_batched(batched, UL_PROFILE,
+                                          kernel="conex")
+    assert (np.asarray(outs_c["kf_flags"]) != 0).sum() >= 1  # recentered
+    np.testing.assert_array_equal(np.asarray(st_x.grid),
+                                  np.asarray(st_c.grid))
+    np.testing.assert_array_equal(np.asarray(st_x.origin_x),
+                                  np.asarray(st_c.origin_x))
+    for k in outs_c:
+        np.testing.assert_array_equal(np.asarray(outs_x[k]),
+                                      np.asarray(outs_c[k]), err_msg=k)
+
+
+def test_conex_resume_bit_exact():
+    """conex checkpoint-resume: a split replay equals the unbroken one."""
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    lg = synth_room_scanlog(n_frames=40, seed=5, noise_mm=4.0)
+    fr = {k: v[None] for k, v in scanlog_to_arrays(lg).items()}
+    st_full, _ = replay_mapping_batched(fr, UL_PROFILE, kernel="conex")
+    st_h, _ = replay_mapping_batched(
+        {k: v[:, :17] for k, v in fr.items()}, UL_PROFILE, kernel="conex")
+    st_r, _ = replay_mapping_batched(
+        {k: v[:, 17:] for k, v in fr.items()}, UL_PROFILE, kernel="conex",
+        state0=st_h)
+    np.testing.assert_array_equal(np.asarray(st_r.grid),
+                                  np.asarray(st_full.grid))

@@ -87,6 +87,11 @@ def main() -> int:
     record("resident_cone_vs_xla_cone", _eq(st_rc.grid, st_c.grid),
            f"({time.time()-t0:.1f}s)")
 
+    t0 = time.time()
+    st_cx, _ = replay_mapping_batched(frd, UL_PROFILE, kernel="conex")
+    record("conex_vs_xla_cone", _eq(st_cx.grid, st_c.grid),
+           f"({time.time()-t0:.1f}s)")
+
     # map-track twins (the SLAM re-raster path)
     rng = np.random.default_rng(5)
     B, T = 4, 64
