@@ -3,16 +3,16 @@
 Measures the framework's headline metric (BASELINE.md north star:
 >= 1,000,000 fused frames/sec on one TPU v5e chip): B independent flight
 replays, each frame doing beam extraction + gating + a fused map update.
-Default kernel is `residentx` — the BIT-EXACT reference-semantics
-whole-replay kernel (ops/pallas_residentx.py; grids bit-match the golden
-C model).  Set MQS_BENCH_KERNEL=conex for the dense
-inverse-sensor-model production mode (2.3M frames/s, not bit-exact vs
-the reference; its map divergence vs the exact path is quantified in
-PERFORMANCE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+By default prints TWO JSON lines {"metric", "value", "unit",
+"vs_baseline", "kernel", "exact", "checksum"}: first `residentx` — the
+BIT-EXACT reference-semantics whole-replay kernel (the headline number;
+ops/pallas_residentx.py, grids bit-match the golden C model) — then
+`conex`, the dense inverse-sensor-model production mode (not bit-exact
+vs the reference; divergence quantified in PERFORMANCE.md).
 vs_baseline is the multiple of the reference pipeline's own fused-frame
 rate (~10 frames/s on the companion SBC, BASELINE.md).
+MQS_BENCH_KERNEL pins a single kernel (one line).
 
 Env knobs: MQS_BENCH_B (batch, default 256), MQS_BENCH_T (frames/log,
 default 256), MQS_BENCH_REPS (timed reps, default 3),
@@ -113,51 +113,62 @@ def main() -> None:
     mesh = make_mesh()
     frames = shard_batch(frames, mesh)
 
-    kernel = os.environ.get("MQS_BENCH_KERNEL", "residentx")
-    if kernel != "xla":
-        from micro_quad_slam_tpu.parallel.mesh import batch_metrics
-        from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
-
-        def run():
-            state, outs = replay_mapping_batched(frames, UL_PROFILE,
-                                                 DEFAULT_GEOM, kernel)
-            return state, outs, batch_metrics(outs)
-    else:
-        run = lambda: _replay_batched_with_metrics(frames, UL_PROFILE, DEFAULT_GEOM)
-
     def sync(state):
         # block_until_ready does not reliably block through the axon TPU
         # tunnel; fetching a tiny on-device reduction forces completion.
         import jax.numpy as jnp
         return int(np.asarray(jnp.sum(state.grid.astype(jnp.int32))))
 
-    # compile + warmup
-    state, outs, metrics = run()
-    checksum = sync(state)
+    def bench_kernel(kernel: str):
+        if kernel != "xla":
+            from micro_quad_slam_tpu.parallel.mesh import batch_metrics
+            from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
 
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+            def run():
+                state, outs = replay_mapping_batched(frames, UL_PROFILE,
+                                                     DEFAULT_GEOM, kernel)
+                return state, outs, batch_metrics(outs)
+        else:
+            run = lambda: _replay_batched_with_metrics(frames, UL_PROFILE,
+                                                       DEFAULT_GEOM)
+        # compile + warmup
         state, outs, metrics = run()
         checksum = sync(state)
-        times.append(time.perf_counter() - t0)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state, outs, metrics = run()
+            checksum = sync(state)
+            times.append(time.perf_counter() - t0)
+        return min(times), checksum, metrics
 
-    dt = min(times)
-    fps = B * T / dt
     ref_fps = 10.0  # reference fused-frame rate (BASELINE.md)
-    print(json.dumps({
-        "metric": "fused_sensor_frames_per_sec_per_chip",
-        "value": round(fps, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / ref_fps, 1),
-    }))
-    print(
-        f"# B={B} T={T} reps={reps} best={dt*1e3:.1f} ms "
-        f"devices={len(jax.devices())} backend={jax.default_backend()} "
-        f"frames_used={int(metrics['frames_used'])}/{int(metrics['frames_total'])} "
-        f"grid_checksum={checksum}",
-        file=sys.stderr,
-    )
+    # Default: bench BOTH the bit-exact flagship (residentx, the headline
+    # first line) and the dense production path (conex) so the driver
+    # record carries both numbers; MQS_BENCH_KERNEL pins one.
+    pinned = os.environ.get("MQS_BENCH_KERNEL")
+    kernels = [pinned] if pinned else ["residentx", "conex"]
+    for kernel in kernels:
+        dt, checksum, metrics = bench_kernel(kernel)
+        fps = B * T / dt
+        print(json.dumps({
+            "metric": ("fused_sensor_frames_per_sec_per_chip" if kernel ==
+                       kernels[0] else
+                       f"fused_sensor_frames_per_sec_per_chip_{kernel}"),
+            "value": round(fps, 1),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / ref_fps, 1),
+            "kernel": kernel,
+            "exact": kernel not in ("cone", "resident_cone", "conex"),
+            "checksum": checksum,
+        }))
+        print(
+            f"# kernel={kernel} B={B} T={T} reps={reps} best={dt*1e3:.1f} ms "
+            f"devices={len(jax.devices())} backend={jax.default_backend()} "
+            f"frames_used={int(metrics['frames_used'])}/{int(metrics['frames_total'])} "
+            f"grid_checksum={checksum}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

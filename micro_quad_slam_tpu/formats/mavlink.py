@@ -126,6 +126,16 @@ _MSGS = {
                   ("time_usec", "vibration_x", "vibration_y",
                    "vibration_z", "clipping_0", "clipping_1",
                    "clipping_2")),
+    # clean's 18th handler (clean_uav_fc_tof_nav.c:1525, 1238-1245):
+    # esc_rpm[4] feeds the flight_data.csv rpm columns (:2645-2659).
+    # CRC_EXTRA 10 recomputed from the dialect recipe and cross-checked
+    # against three known messages (tests/test_mavlink.py).
+    "ESC_STATUS": (291, 10, "<Q4i4f4fB",
+                   ("time_usec",)
+                   + tuple(f"rpm{i}" for i in range(4))
+                   + tuple(f"voltage{i}" for i in range(4))
+                   + tuple(f"current{i}" for i in range(4))
+                   + ("index",)),
     "EXTENDED_SYS_STATE": (245, 130, "<BB",
                            ("vtol_state", "landed_state")),
     "STATUSTEXT": (253, 83, "<B50s", ("severity", "text")),
@@ -193,6 +203,10 @@ class MavEncoder:
                          (msgid >> 16) & 0xFF])
             crc = x25_crc(hdr + trimmed + bytes([crc_extra]))
             return bytes([STX2]) + hdr + trimmed + struct.pack("<H", crc)
+        if msgid > 0xFF:
+            raise ValueError(
+                f"{name} (msgid {msgid}) needs MAVLink v2 framing; "
+                f"construct MavEncoder(version=2)")
         hdr = bytes([len(payload), seq, self.sysid, self.compid, msgid])
         crc = x25_crc(hdr + payload + bytes([crc_extra]))
         return bytes([STX]) + hdr + payload + struct.pack("<H", crc)
@@ -282,12 +296,20 @@ class MavEncoder:
         return self.rc_override(tgt_sys, tgt_comp, 0xFFFF, 0xFFFF,
                                 0xFFFF, 0xFFFF)
 
-    def stream_negotiation(self, tgt_sys) -> bytes:
-        """The reference's first-heartbeat SET_MESSAGE_INTERVAL burst +
-        REQUEST_DATA_STREAM EXTRA3 (uav_local_nav.c:1016-1034)."""
-        intervals = [  # (msgid, interval_us)
+    def stream_negotiation(self, tgt_sys, profile: str = "ul") -> bytes:
+        """The reference's first-heartbeat SET_MESSAGE_INTERVAL burst.
+
+        profile "ul": 10 intervals + REQUEST_DATA_STREAM EXTRA3
+        (uav_local_nav.c:1016-1034).  profile "cl": clean's 11-interval
+        burst — RC_CHANNELS @5 Hz third in the list, and NO
+        REQUEST_DATA_STREAM (clean_uav_fc_tof_nav.c:1106-1124)."""
+        cl = profile == "cl"
+        if profile not in ("ul", "cl"):
+            raise ValueError(f"unknown stream profile: {profile!r}")
+        intervals = [  # (msgid, interval_us), in the reference's order
             (1, 200000),    # SYS_STATUS
             (36, 50000),    # SERVO_OUTPUT_RAW
+            *([(65, 200000)] if cl else []),  # RC_CHANNELS (clean:1113)
             (147, 200000),  # BATTERY_STATUS
             (132, 100000),  # DISTANCE_SENSOR
             (245, 200000),  # EXTENDED_SYS_STATE
@@ -301,9 +323,10 @@ class MavEncoder:
             self.command_long(tgt_sys, 0, CMD_SET_MESSAGE_INTERVAL,
                               float(mid), float(us))
             for mid, us in intervals)
-        out += self.pack("REQUEST_DATA_STREAM", target_system=tgt_sys,
-                         target_component=0, req_stream_id=3,  # EXTRA3
-                         req_message_rate=20, start_stop=1)
+        if not cl:
+            out += self.pack("REQUEST_DATA_STREAM", target_system=tgt_sys,
+                             target_component=0, req_stream_id=3,  # EXTRA3
+                             req_message_rate=20, start_stop=1)
         return out
 
     def rcmap_requests(self, tgt_sys, tgt_comp) -> bytes:

@@ -158,7 +158,13 @@ def _group_header(pcy_p, pcx_p, active, do_f, g: int, F: int, B: int,
     group_any = jnp.any(anyg, axis=1)
     no_late_rc = ~jnp.any(gview(do_f)[:, 1:] != 0, axis=1)
     fast = (rows_all & lanes_ok & no_late_rc & group_any).astype(jnp.int32)
-    fast = jnp.where(group_any, fast, 1)   # empty groups: trivial fast
+    # Empty groups are trivially fast ONLY when they carry no recenter at
+    # frame f >= 1: the kernels apply frame-0 recenters unconditionally
+    # but late recenters only on the fallback path, so an all-inactive
+    # group (e.g. 8 frames of ToF dropout with inited poses) whose pose
+    # crosses the recenter threshold mid-group must still fall back or
+    # the roll is silently dropped and the grid diverges forever.
+    fast = jnp.where(group_any, fast, no_late_rc.astype(jnp.int32))
     return {"fast": fast, "r0g": r0g, "c0g": c0g, "cwl": cwl,
             "group_any": group_any.astype(jnp.int32),
             "cyg": cyg, "cxg": cxg}

@@ -92,6 +92,52 @@ def replay_wirecap(path_or_records, cfg: PipelineConfig = UL_PROFILE,
     return state, outs, frames["x_m"].shape[0]
 
 
+def wirecap_flight_data(path_or_records, out_path: str,
+                        cfg: PipelineConfig = UL_PROFILE) -> int:
+    """Extract flight_data.csv (E7, clean:2645-2659) from a dual-UART
+    capture: one row per accepted SCAN frame (the replay's control-tick
+    proxy) with the telemetry latched at that moment — vibration /
+    clipping from VIBRATION (clean:1227-1236), motor PWM from
+    SERVO_OUTPUT_RAW, ESC rpm from ESC_STATUS (clean:1238-1245).
+    Returns the number of rows written."""
+    import math
+
+    from micro_quad_slam_tpu.utils.obs import (
+        FlightDataWriter, STATE_NAMES_CL, STATE_NAMES_UL)
+
+    names = (STATE_NAMES_UL if cfg.behavior.explore_enabled
+             else STATE_NAMES_CL)
+    records = (read_wirecap(path_or_records)
+               if isinstance(path_or_records, str) else path_or_records)
+    parser = StreamParser()
+    tel = TelemetryAdapter()
+    w = FlightDataWriter(out_path)
+    n = 0
+    try:
+        for ch, t_ms, payload in records:
+            if ch == CH_FC:
+                tel.feed(payload, int(t_ms))
+                continue
+            if ch != CH_HUB:
+                continue
+            for kind, _f in parser.feed(payload):
+                if kind != "scan":
+                    continue
+                airborne = tel.landed_state == 2
+                st = ST_HOVER if airborne else ST_IDLE
+                alt = tel.lpos_alt_filt
+                w.write_row(
+                    t_ms, names[st],
+                    0.0 if math.isnan(alt) else alt,
+                    math.degrees(tel.roll), math.degrees(tel.pitch),
+                    math.degrees(tel.yaw), tel.servo_raw[:4],
+                    tel.vibration, tel.esc_rpm)
+                n += 1
+    finally:
+        w.close()
+    return n
+
+
 def scanlog_to_wirecap(log, mav_version: int = 1) -> List[Tuple[int, int, bytes]]:
     """Render a scanlog as the dual-UART capture that would have
     produced it: per scan, one FC-channel record with the telemetry the

@@ -90,6 +90,7 @@ class TelemetryAdapter:
     rcin_last_ms: int = 0
     vibration: tuple = (0.0, 0.0, 0.0)
     clipping: tuple = (0, 0, 0)
+    esc_rpm: tuple = (0, 0, 0, 0)
 
     def feed(self, data: bytes, t_ms: int) -> int:
         """Parse a chunk received at host time t_ms.  Returns the number
@@ -219,6 +220,10 @@ class TelemetryAdapter:
                               f["vibration_z"])
             self.clipping = (f["clipping_0"], f["clipping_1"],
                              f["clipping_2"])
+        elif name == "ESC_STATUS":
+            # clean's 18th handler (clean:1238-1245): latch rpm[4] for
+            # the flight_data.csv rpm columns (clean:2645-2659)
+            self.esc_rpm = tuple(f[f"rpm{i}"] for i in range(4))
 
     def snapshot(self, t_ms: int, want_arm: bool, tof_min=(float("nan"),) * 4,
                  map_inited: bool = False, frontier=(0, 0, 0, 0)) -> Telemetry:

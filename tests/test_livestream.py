@@ -123,3 +123,42 @@ def test_wirecap_v2_fc_channel_replays_identically():
     st2, _, n2 = replay_wirecap(cap2, UL_PROFILE)
     assert n1 == n2
     np.testing.assert_array_equal(np.asarray(st1.grid), np.asarray(st2.grid))
+
+
+def test_wirecap_flight_data_rpm_from_esc_status(tmp_path):
+    """A wire capture carrying ESC_STATUS / VIBRATION / SERVO_OUTPUT_RAW
+    fills the flight_data.csv rpm, vibration, and motor columns (E7,
+    clean:2645-2659) — C1's 18th handler end to end."""
+    from micro_quad_slam_tpu.formats.mavlink import MavEncoder
+    from micro_quad_slam_tpu.replay.livestream import wirecap_flight_data
+
+    log = _sanitize(synth_room_scanlog(n_frames=6, seed=5,
+                                       yaw_rate_dps=0.0, noise_mm=4.0))
+    recs = scanlog_to_wirecap(log)
+    enc = MavEncoder(sysid=1, compid=1, version=2)  # ESC_STATUS is v2-only
+    extra = enc.pack("ESC_STATUS", time_usec=1000, index=0, rpm0=8100,
+                     rpm1=8200, rpm2=8300, rpm3=8400)
+    extra += enc.pack("VIBRATION", time_usec=1000, vibration_x=1.25,
+                      vibration_y=0.5, vibration_z=0.75,
+                      clipping_0=1, clipping_1=0, clipping_2=0)
+    extra += enc.pack("SERVO_OUTPUT_RAW", time_usec=1000,
+                      **{f"servo{i}_raw": 1400 + i for i in range(1, 9)},
+                      port=0)
+    # inject before the SECOND scan so row 0 has zeros, rows 1+ are live
+    idx = [i for i, r in enumerate(recs) if r[0] == CH_HUB][1]
+    recs.insert(idx, (CH_FC, recs[idx][1], extra))
+
+    out = str(tmp_path / "flight_data.csv")
+    n = wirecap_flight_data(recs, out, UL_PROFILE)
+    lines = open(out).read().strip().split("\n")
+    assert n == 6 and len(lines) == 7
+    hdr = lines[0].split(",")
+    i_rpm = hdr.index("rpm1")
+    i_m1 = hdr.index("m1")
+    i_vx = hdr.index("vib_x")
+    row0 = lines[1].split(",")
+    row1 = lines[2].split(",")
+    assert row0[i_rpm:i_rpm + 4] == ["0", "0", "0", "0"]
+    assert row1[i_rpm:i_rpm + 4] == ["8100", "8200", "8300", "8400"]
+    assert row1[i_m1:i_m1 + 4] == ["1401", "1402", "1403", "1404"]
+    assert row1[i_vx] == "1.25"

@@ -73,6 +73,67 @@ def test_stream_negotiation_matches_reference_rates():
     assert len(rds) == 1 and rds[0]["req_stream_id"] == 3
 
 
+def test_stream_negotiation_cl_profile():
+    """clean's burst: 11 intervals with RC_CHANNELS @5 Hz THIRD in the
+    list, and no REQUEST_DATA_STREAM (clean_uav_fc_tof_nav.c:1106-1124)."""
+    enc = MavEncoder()
+    msgs = list(decode_mavlink_stream(enc.stream_negotiation(1, "cl")))
+    cl = [f for n, f in msgs if n == "COMMAND_LONG"]
+    assert len(cl) == 11 and len(msgs) == 11  # no REQUEST_DATA_STREAM
+    order = [int(f["param1"]) for f in cl]
+    assert order == [1, 36, 65, 147, 132, 245, 30, 32, 100, 106, 173]
+    rc = cl[2]
+    assert rc["param1"] == 65.0 and rc["param2"] == 200000.0  # 5 Hz
+
+
+def test_esc_status_roundtrip_and_crc_extra():
+    """ESC_STATUS (msgid 291, clean's 18th handler clean:1525): wire
+    roundtrip in both framings, and the CRC_EXTRA recomputed from the
+    dialect recipe (x25 over name + sorted 'ctype name' fields + array
+    length bytes, folded hi^lo) equals the packed value — the recipe is
+    cross-checked against HEARTBEAT/ATTITUDE/VIBRATION."""
+    from micro_quad_slam_tpu.formats.mavlink import _MSGS
+
+    def crc_extra(name, fields):
+        s = name + " "
+        for t, fn, al in fields:
+            s += t + " " + fn + " "
+            if al:
+                s += chr(al)
+        c = x25_crc(s.encode())
+        return (c & 0xFF) ^ (c >> 8)
+
+    assert crc_extra("HEARTBEAT", [
+        ("uint32_t", "custom_mode", 0), ("uint8_t", "type", 0),
+        ("uint8_t", "autopilot", 0), ("uint8_t", "base_mode", 0),
+        ("uint8_t", "system_status", 0),
+        ("uint8_t", "mavlink_version", 0)]) == _MSGS["HEARTBEAT"][1]
+    assert crc_extra("VIBRATION", [
+        ("uint64_t", "time_usec", 0), ("float", "vibration_x", 0),
+        ("float", "vibration_y", 0), ("float", "vibration_z", 0),
+        ("uint32_t", "clipping_0", 0), ("uint32_t", "clipping_1", 0),
+        ("uint32_t", "clipping_2", 0)]) == _MSGS["VIBRATION"][1]
+    assert crc_extra("ESC_STATUS", [
+        ("uint64_t", "time_usec", 0), ("int32_t", "rpm", 4),
+        ("float", "voltage", 4), ("float", "current", 4),
+        ("uint8_t", "index", 0)]) == _MSGS["ESC_STATUS"][1] == 10
+
+    # msgid 291 > 255: a MAVLink-v2-only message — v1 framing refuses
+    import pytest
+    with pytest.raises(ValueError, match="v2"):
+        MavEncoder(version=1).pack("ESC_STATUS", time_usec=0)
+    enc = MavEncoder(sysid=1, compid=1, version=2)
+    buf = enc.pack("ESC_STATUS", time_usec=123456, index=0,
+                   rpm0=8100, rpm1=-8200, rpm2=8300, rpm3=8400,
+                   voltage0=3.9, current0=1.5)
+    msgs = list(decode_mavlink_stream(buf))
+    assert len(msgs) == 1
+    name, f = msgs[0]
+    assert name == "ESC_STATUS"
+    assert [f[f"rpm{i}"] for i in range(4)] == [8100, -8200, 8300, 8400]
+    assert abs(f["voltage0"] - 3.9) < 1e-6
+
+
 def test_corrupt_frame_resync():
     enc = MavEncoder()
     a = bytearray(enc.heartbeat())
@@ -152,21 +213,36 @@ def test_v2_roundtrip_all_message_types():
     enc1 = MavEncoder(sysid=7, compid=1, version=1)
     enc2 = MavEncoder(sysid=7, compid=1, version=2)
     for name, (msgid, _, fmt, names) in _MSGS.items():
+        # expand repeat counts: "<Q4i..." -> "Qiiii..."
+        chars = []
+        rep = ""
+        for ch in fmt.lstrip("<"):
+            if ch.isdigit():
+                rep += ch
+            elif ch == "s":
+                chars.append("s")   # byte string consumes the count
+                rep = ""
+            else:
+                chars.extend([ch] * int(rep or "1"))
+                rep = ""
         fields = {}
-        for n, ch in zip(names, [c for c in fmt if c.isalpha()]):
+        for n, ch in zip(names, chars):
             if ch == "s":
                 fields[n] = "x"
             elif ch == "f":
                 fields[n] = float(np.float32(rng.uniform(-3, 3)))
             else:
                 fields[n] = int(rng.integers(0, 100))
-        f1 = enc1.pack(name, **fields)
         f2 = enc2.pack(name, **fields)
         assert f2[0] == 0xFD
+        (n2, d2), = decode_mavlink_stream(f2)
+        assert n2 == name
+        if msgid > 0xFF:
+            continue  # v2-only message (ESC_STATUS)
+        f1 = enc1.pack(name, **fields)
         assert len(f2) <= len(f1) + 4  # truncation never inflates much
         (n1, d1), = decode_mavlink_stream(f1)
-        (n2, d2), = decode_mavlink_stream(f2)
-        assert n1 == n2 == name
+        assert n1 == name
         d1.pop("_seq"), d2.pop("_seq")
         assert d1 == d2, name
 

@@ -237,6 +237,51 @@ def test_residentx_group_saturating_endpoint():
     np.testing.assert_array_equal(np.asarray(st_r.grid), gx)
 
 
+def test_residentx_recenter_in_all_inactive_group():
+    """A recenter firing at group frame f >= 1 inside a group with ZERO
+    active frames (8 consecutive frames of flow-quality gating failure
+    with inited=True — a realistic ToF/flow dropout) must still roll the
+    grid: empty groups may only take the trivial fast path when they
+    carry no late recenter, else the roll is silently dropped and the
+    grid permanently diverges (advisor finding, round 2)."""
+    from micro_quad_slam_tpu.ops.pallas_residentx import pallas_replay_residentx
+    from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    B, T = 1, 24
+    grid_mm = np.full((B, T, 4, 8, 8), 1500, np.uint16)
+    x = np.zeros((B, T), np.float32)
+    x[0, 8:10] = 10.0
+    x[0, 10:] = 16.0            # crosses the 15 m recenter threshold
+    of_q = np.full((B, T), 200, np.int32)
+    of_q[0, 8:16] = 0           # group 1 (frames 8-15): gating failure
+    frames = {
+        "grid_mm": grid_mm,
+        "x_m": x,
+        "y_m": np.zeros((B, T), np.float32),
+        "yaw_deg": np.zeros((B, T), np.float32),
+        "of_q": of_q,
+        "of_rate_x": np.zeros((B, T), np.float32),
+        "sys_health": np.zeros((B, T), np.int64),
+        "state": np.full((B, T), 5, np.uint8),   # HOVER from frame 0
+    }
+    st_x, outs_x = replay_mapping_batched(frames, UL_PROFILE)
+    # the recenter really does land on an all-inactive frame at group
+    # offset >= 1 (frame 10 = group 1, f=2)
+    kf = np.asarray(outs_x["kf_flags"])[0]
+    used = np.asarray(outs_x["used"])[0]
+    assert kf[10] != 0 and not used[8:16].any()
+
+    st_r, _ = pallas_replay_residentx(frames, UL_PROFILE, interpret=True)
+    np.testing.assert_array_equal(np.asarray(st_r.grid),
+                                  np.asarray(st_x.grid))
+
+    st_c, _ = replay_mapping_batched(frames, UL_PROFILE, kernel="cone")
+    st_cx, _ = replay_mapping_batched(frames, UL_PROFILE, kernel="conex")
+    np.testing.assert_array_equal(np.asarray(st_cx.grid),
+                                  np.asarray(st_c.grid))
+
+
 def test_conex_replay_bit_matches_xla_cone_with_recenter():
     """Grouped cone kernel (interpret): bit-equal grids vs the XLA cone
     path, mid-flight recentering (fallback groups) included."""
