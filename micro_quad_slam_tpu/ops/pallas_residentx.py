@@ -716,6 +716,41 @@ def _map_chunk_jit(grids, beams, x, y, yaw_deg, origin_x, origin_y,
     return _residentx_call(aux, words, grids, cfg.map, geom, interpret)
 
 
+def pallas_map_chunk_sched(grids, beams, x, y, yaw_deg, ox, oy, do, rsy,
+                           rsx, cfg: PipelineConfig = UL_PROFILE,
+                           geom: GridGeom = DEFAULT_GEOM,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """pallas_map_chunk with PER-FRAME origins and a recenter schedule:
+    x/y/yaw_deg/ox/oy f32 [B, C]; do/rsy/rsx i32 [B, C] (the grid rolls
+    by (rsy, rsx) cells before frame c's rays when do != 0, exactly the
+    replay recenter semantics, uav_local_nav.c:308-353).  Every frame
+    with finite beams updates the grid (map-track semantics).  Used by
+    the SLAM pipeline so long-excursion flights recenter like the
+    mapping replay instead of silently dropping out-of-window rays."""
+    from micro_quad_slam_tpu.ops.pallas_resident import _check_vmem_fit
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _check_vmem_fit(geom)
+    return _map_chunk_sched_jit(grids, beams, x, y, yaw_deg, ox, oy,
+                                do, rsy, rsx, cfg, geom, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12))
+def _map_chunk_sched_jit(grids, beams, x, y, yaw_deg, ox, oy, do, rsy,
+                         rsx, cfg: PipelineConfig, geom: GridGeom,
+                         interpret: bool):
+    B, C = x.shape
+    sh = lambda a: jnp.moveaxis(a, 0, 1)                 # [B, C] -> [C, B]
+    en = jnp.ones((C, B), bool)
+    args = [sh(beams), sh(x), sh(y), sh(yaw_deg), sh(ox), sh(oy), en,
+            sh(do) != 0, sh(rsy).astype(jnp.int32),
+            sh(rsx).astype(jnp.int32)]
+    args, _ = pad_frames_to_group(args, C)
+    aux, words = _pack_words_x(*args, cfg.map, cfg.tof, geom)
+    return _residentx_call(aux, words, grids, cfg.map, geom, interpret)
+
+
 # ----------------------------------------------------------------------
 # cone mode, grouped ("conex"): dense inverse-sensor-model production
 # path with F frames per program.  Per frame the transcendental-free

@@ -36,6 +36,26 @@ _F32 = np.float32
 _DEG2RAD = _F32(np.pi / 180.0)
 
 
+def _assert_window_fits(cfg: MapConfig, geom: GridGeom, n_xy: int,
+                        xy_step_m: float) -> None:
+    """Static (trace-time) containment proof: every reachable candidate
+    endpoint cell falls inside the [win_rows, win_cols] window centered
+    on the pose cell — max beam reach + translation-search radius +
+    rounding must fit the half-window margins.  Custom geometries (finer
+    res / longer range) that break this would silently score 0 for the
+    out-of-window cells otherwise (advisor finding, round 2)."""
+    search_cells = int(np.ceil((n_xy - 1) / 2 * xy_step_m / cfg.res_m))
+    reach = cfg.max_ray_cells + search_cells + 1   # +1 lrintf rounding
+    half_r = geom.win_rows // 2
+    half_c = geom.win_cols // 2
+    if reach > min(half_r, half_c - 1):
+        raise ValueError(
+            f"scan-match window too small: beam reach {cfg.max_ray_cells} "
+            f"+ search {search_cells} cells exceeds the "
+            f"[{geom.win_rows}, {geom.win_cols}] window margins; enlarge "
+            f"GridGeom.win_rows/win_cols for this MapConfig")
+
+
 class MatchResult(NamedTuple):
     x: jnp.ndarray
     y: jnp.ndarray
@@ -72,6 +92,7 @@ def _score_lattice(window, wy0, wx0, beams, x_guess, y_guess,
     one-hot matmuls (exact: one-hot selectors and int8 values are
     bf16-representable); cells outside the window or the logical grid
     contribute 0."""
+    _assert_window_fits(cfg, geom, n_xy, xy_step_m)
     offs_xy = (np.arange(n_xy, dtype=np.float32) - (n_xy - 1) / 2) * _F32(xy_step_m)
     offs_yaw = (np.arange(n_yaw, dtype=np.float32) - (n_yaw - 1) / 2) * _F32(yaw_step_deg)
 
@@ -79,7 +100,11 @@ def _score_lattice(window, wy0, wx0, beams, x_guess, y_guess,
         return _endpoints_world(beams, x_guess, y_guess,
                                 yaw_guess_deg + dyaw, tof)
 
-    pts, hit = lax.map(yaw_endpoints, jnp.asarray(offs_yaw))   # [Y, 32, 2], [Y, 32]
+    # vmap, NOT lax.map: the yaw axis is tiny and static, and lax.map
+    # compiles to a sequential scan — 7 serialized endpoint computations
+    # per match added measurable latency at 26 matches per flight
+    import jax as _jax
+    pts, hit = _jax.vmap(yaw_endpoints)(jnp.asarray(offs_yaw))  # [Y, 32, 2], [Y, 32]
 
     # candidate endpoint cells: [Y, 32] base + [Tx] x [Ty] world offsets
     ex = pts[..., 0][:, None, None, :] + offs_xy[None, :, None, None]
@@ -94,16 +119,38 @@ def _score_lattice(window, wy0, wx0, beams, x_guess, y_guess,
     inb = (cx >= 0) & (cx < cfg.width) & (cy >= 0) & (cy < cfg.height)
     ry = (cy + geom.pad - wy0).reshape(-1, 1)                  # [N, 1]
     rx = (cx + geom.pad - wx0).reshape(-1, 1)
-    rows = jnp.arange(96)[None, :]
-    cols = jnp.arange(128)[None, :]
-    A = (ry == rows).astype(jnp.float32)                       # [N, 96]
+    rows = jnp.arange(geom.win_rows)[None, :]
+    cols = jnp.arange(geom.win_cols)[None, :]
+    # bf16 operands: one-hot selectors and int8 grid values are exactly
+    # bf16-representable, and each output cell sums one nonzero product
+    # in f32 — bit-identical to the f32 matmul at ~4x the MXU rate
+    A = (ry == rows).astype(jnp.bfloat16)                      # [N, 96]
     C = (rx == cols).astype(jnp.float32)                       # [N, 128]
-    G = lax.dot_general(A, window.astype(jnp.float32),
+    G = lax.dot_general(A, window.astype(jnp.bfloat16),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)    # [N, 128]
     vals = (G * C).sum(axis=-1).reshape(sh)
     w = (hit[:, None, None, :] & inb).astype(jnp.float32)
     return (vals * w).sum(axis=-1), hit
+
+
+def _window_by_matmul(padded_grid, wy0, wx0, geom: GridGeom):
+    """Slice the [win_rows, win_cols] window at (wy0, wx0) through two
+    one-hot matmuls: a vmapped dynamic_slice with per-flight starts
+    lowers to a pathological gather on TPU (the ~70%-of-cost lesson from
+    PERFORMANCE.md), while the matmuls ride the MXU.  EXACT: int8 grid
+    values and one-hot selectors are bf16-representable, and each output
+    cell sums exactly one nonzero product in f32.  Returns f32."""
+    bf = jnp.bfloat16
+    rows = wy0 + jnp.arange(geom.win_rows)
+    A = (rows[:, None] == jnp.arange(geom.prows)[None, :]).astype(bf)
+    cols = wx0 + jnp.arange(geom.win_cols)
+    Ct = (jnp.arange(geom.pcols)[:, None] == cols[None, :]).astype(bf)
+    G = lax.dot_general(A, padded_grid.astype(bf),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    return lax.dot_general(G.astype(bf), Ct, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
 
 
 def match_window(window: jnp.ndarray, wy0, wx0, beams,
@@ -146,9 +193,11 @@ def match_scan(
     """
     pcx, pcy = world_to_cell(x_guess, y_guess, origin_x, origin_y,
                              cfg.res_m, cfg.width // 2, cfg.height // 2)
-    wy0 = jnp.clip(pcy + geom.pad - 48, 0, geom.prows - 96)
-    wx0 = jnp.clip(pcx + geom.pad - 64, 0, geom.pcols - 128)
-    window = lax.dynamic_slice(padded_grid, (wy0, wx0), (96, 128))
+    wy0 = jnp.clip(pcy + geom.pad - geom.win_rows // 2, 0,
+                   geom.prows - geom.win_rows)
+    wx0 = jnp.clip(pcx + geom.pad - geom.win_cols // 2, 0,
+                   geom.pcols - geom.win_cols)
+    window = _window_by_matmul(padded_grid, wy0, wx0, geom)
     scores, hit = _score_lattice(window, wy0, wx0, beams, x_guess,
                                  y_guess, yaw_guess_deg, origin_x,
                                  origin_y, cfg, tof, geom, n_xy, n_yaw,

@@ -39,8 +39,15 @@ def fusion_arrays(scanlog) -> dict:
     }
 
 
-def _ekf_replay_batched(frames: dict, cfg: PipelineConfig):
-    """frames: [B, T] arrays -> (final EkfState [B], track dict [B, T])."""
+def _ekf_replay_batched(frames: dict, cfg: PipelineConfig, extra=None):
+    """frames: [B, T] arrays -> (final EkfState [B], track dict [B, T]).
+
+    extra: optional (init_carry, step_fn) hook run INSIDE the same scan;
+    step_fn(carry, mean, frame) -> (carry, out_dict) sees the posterior
+    mean of each step.  Used by the SLAM pipeline to fuse its
+    origin/recenter schedule into this scan — a second T-length scan
+    costs ~28 ms of pure loop overhead at B=128, T=256 — while keeping
+    the EKF itself defined in exactly one place."""
     B, T = frames["of_rate_x"].shape
     # dt from the sensor-side clock (dual-clock scheme,
     # uav_local_nav.c:1362-1364); first frame gets dt=0.
@@ -71,12 +78,21 @@ def _ekf_replay_batched(frames: dict, cfg: PipelineConfig):
         "yaw": jnp.moveaxis(jnp.deg2rad(frames["yaw_deg"]), 0, 1),
     }
 
-    def step(st, f):
+    def step(carry, f):
+        st, xc = carry
         st, diag = ekf_step(st, f["dt"], f["rx"], f["ry"], f["q"], f["rf"],
                             f["yaw"], cfg.ekf)
-        return st, {"mean": st.mean, "flow_used": diag["flow_used"]}
+        out = {"mean": st.mean, "flow_used": diag["flow_used"]}
+        if extra is not None:
+            xc, xout = extra[1](xc, st.mean, f)
+            out.update(xout)
+        return (st, xc), out
 
-    state, outs = lax.scan(step, state0, seq)
+    # unroll: the per-step body is tiny [B, 8, 8] algebra, so the scan is
+    # latency-bound by per-iteration loop overhead at small B (51 ms for
+    # T=256 at B=128 before unrolling)
+    xc0 = None if extra is None else extra[0]
+    (state, _), outs = lax.scan(step, (state0, xc0), seq, unroll=8)
     track = {
         "x": jnp.moveaxis(outs["mean"][..., 0], 0, 1),
         "y": jnp.moveaxis(outs["mean"][..., 1], 0, 1),
@@ -87,6 +103,9 @@ def _ekf_replay_batched(frames: dict, cfg: PipelineConfig):
         "yaw": jnp.moveaxis(outs["mean"][..., 6], 0, 1),
         "flow_used": jnp.moveaxis(outs["flow_used"], 0, 1),
     }
+    for k in outs:
+        if k not in ("mean", "flow_used"):   # extra-hook outputs
+            track[k] = jnp.moveaxis(outs[k], 0, 1)
     return state, track
 
 

@@ -10,10 +10,10 @@ constraints).  Residual of edge (i -> j) with measurement z:
     r = [R(th_i)^T (t_j - t_i) - z_t,  wrap(th_j - th_i - z_th)]
 
 Gauss-Newton with the first node pinned; the normal equations are built
-densely ([3K, 3K]) and solved with jnp.linalg.solve — K is small
-(keyframes per flight: tens to low hundreds), so the dense solve batches
-beautifully over thousands of flights on the MXU, which is exactly the
-scale this framework targets (vmap over the quad axis).
+densely ([3K, 3K]) and solved by Cholesky (the pinned+damped H is SPD) —
+K is small (keyframes per flight: tens to low hundreds), so the dense
+solve batches beautifully over thousands of flights on the MXU, which is
+exactly the scale this framework targets (vmap over the quad axis).
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ from typing import NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 _F32 = np.float32
 
@@ -133,7 +134,15 @@ def gauss_newton(graph: PoseGraph, iters: int = 10,
         b = b.at[pin].set(0.0)
         H = H + damping * jnp.eye(K * 3, dtype=jnp.float32)
 
-        dx = jnp.linalg.solve(H, -b).reshape(K, 3)
+        # H is SPD (Gauss-Newton normal equations + pin + damping):
+        # Cholesky solves it in half the FLOPs of the LU-with-pivoting
+        # path jnp.linalg.solve lowers to, and batches better under vmap
+        L = lax.linalg.cholesky(H)
+        dx = lax.linalg.triangular_solve(
+            L, lax.linalg.triangular_solve(
+                L, -b[:, None], left_side=True, lower=True),
+            left_side=True, lower=True, transpose_a=True)[:, 0]
+        dx = dx.reshape(K, 3)
         nodes = nodes + dx
         nodes = nodes.at[:, 2].set(_wrap(nodes[:, 2]))
         return nodes, jnp.sum(rw * r)

@@ -190,6 +190,39 @@ class BehaviorConfig:
 
 
 @dataclass(frozen=True)
+class SlamConfig:
+    """Scan-match + pose-graph SLAM back-end (new capability; slam/).
+
+    The reference dead-reckons on the FC EKF (SURVEY.md §7 step 7); these
+    tunables govern the rebuild's drift-correction stack.  Defaults are
+    the values the pipeline shipped with in rounds 1-2."""
+
+    kf_every: int = 10             # keyframe cadence (frames)
+    gn_iters: int = 8              # Gauss-Newton iterations (static)
+    # correlative matcher lattice around the odometry guess (pass 1)
+    match_n_xy: int = 7
+    match_n_yaw: int = 7
+    match_xy_step_m: float = 0.05
+    match_yaw_step_deg: float = 1.0
+    match_min_quality: float = 3.0  # accept gate: peak-minus-mean per hit
+    # revisit loop-closure candidates (pass 1b)
+    loop_min_gap: int = 3          # candidate must be >= this many kf older
+    loop_r_max_m: float = 1.0      # proximity gate on keyframe distance
+    # revisit matcher lattice — pruned vs pass 1: the guess is already
+    # odometry-good, so a 5x5x5 lattice holds the same peak as 7x7x7
+    loop_n_xy: int = 5
+    loop_n_yaw: int = 5
+    # pose-graph edge information weights (x, y, theta)
+    odo_w: tuple = (100.0, 100.0, 400.0)
+    anchor_w: tuple = (30.0, 30.0, 120.0)
+    loop_w: tuple = (60.0, 60.0, 240.0)
+    # recenter the SLAM grid when the pose strays past the map threshold,
+    # exactly like the mapping replay (uav_local_nav.c:308-353); the
+    # schedule is decided grid-free from the odometry track
+    recenter: bool = True
+
+
+@dataclass(frozen=True)
 class EkfConfig:
     """Explicit EKF replacing ArduPilot EKF3 (new capability; the reference
     consumed LOCAL_POSITION_NED, uav_local_nav.c:1168-1195)."""
@@ -219,6 +252,7 @@ class PipelineConfig:
     battery: BatteryConfig = BatteryConfig()
     behavior: BehaviorConfig = BehaviorConfig()
     ekf: EkfConfig = EkfConfig()
+    slam: SlamConfig = SlamConfig()
     name: str = "ul"
 
     def replace(self, **kw) -> "PipelineConfig":

@@ -164,8 +164,9 @@ def test_map_track_matches_xla_map_pass():
     ], axis=-1)
     kf = jnp.zeros((T,), bool)
 
-    grid_x, _, (ox, oy) = _map_pass(jnp.asarray(beams), jnp.asarray(poses),
-                                    0, UL_PROFILE, GEOM, False, kf)
+    grid_x, _ = _map_pass(jnp.asarray(beams), jnp.asarray(poses),
+                          UL_PROFILE, GEOM, False, kf)
+    ox, oy = jnp.asarray(poses[:, 0, 0]), jnp.asarray(poses[:, 0, 1])
     grid_p = pallas_map_track(
         jnp.asarray(beams), jnp.asarray(poses[..., 0]),
         jnp.asarray(poses[..., 1]), jnp.rad2deg(jnp.asarray(poses[..., 2])),

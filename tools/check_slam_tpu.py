@@ -1,10 +1,12 @@
-"""SLAM pass-3 resident raster on real TPU: exactness + slam timing."""
+"""SLAM on real TPU: chunked-pass parity vs the sequential scan, pass-3
+resident raster exactness, and end-to-end timing (B=64 and B=128)."""
 import time
 import numpy as np
 import jax
 import jax.numpy as jnp
 from micro_quad_slam_tpu.ops.pallas_resident import pallas_map_track
-from micro_quad_slam_tpu.slam.pipeline import _map_pass, slam_replay
+from micro_quad_slam_tpu.slam.pipeline import (
+    _map_pass, _map_pass_chunked, _origin_schedule, slam_replay)
 from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
 from micro_quad_slam_tpu.replay.fusion import fusion_arrays
 from micro_quad_slam_tpu.sim import synth_room_scanlog
@@ -26,8 +28,9 @@ def main():
         rng.uniform(-np.pi, np.pi, (B, T)).astype(np.float32),
     ], axis=-1)
     kf = jnp.zeros((T,), bool)
-    gx, _, (ox, oy) = _map_pass(jnp.asarray(beams), jnp.asarray(poses), 0,
-                                UL_PROFILE, GEOM, False, kf)
+    gx, _ = _map_pass(jnp.asarray(beams), jnp.asarray(poses),
+                      UL_PROFILE, GEOM, False, kf)
+    ox, oy = jnp.asarray(poses[:, 0, 0]), jnp.asarray(poses[:, 0, 1])
     gp = pallas_map_track(jnp.asarray(beams), jnp.asarray(poses[..., 0]),
                           jnp.asarray(poses[..., 1]),
                           jnp.rad2deg(jnp.asarray(poses[..., 2])),
@@ -35,22 +38,57 @@ def main():
     print("map_track bit-equal on TPU:",
           np.array_equal(np.asarray(gp), np.asarray(gx)), flush=True)
 
-    # end-to-end slam timing (B=64, T=256)
+    # chunked pass 1 (the TPU-only production path) vs the sequential
+    # scan: identical grids AND matched poses on the backend that
+    # actually executes it (advisor finding, round 2).  Drifted circle
+    # poses make real matches fire; a long-excursion flight exercises
+    # the recenter schedule through both paths.
+    logs = [synth_room_scanlog(n_frames=64, seed=s, path="circle",
+                               noise_mm=6.0, with_flow=True)
+            for s in range(2)]
+    fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
+    b4 = {k: np.stack([f[k] for f in fr] * 2) for k in fr[0]}
+    # the schedule follows the EKF odometry, so the excursion must ride
+    # the flow stream: +5.5 m/s body-x for 6.4 s strays ~35 m
+    b4["of_rate_x"][3] = b4["of_rate_x"][3] + np.float32(5.5)
+    from micro_quad_slam_tpu.ops.beams import extract_beams
+    from micro_quad_slam_tpu.slam.pipeline import _ekf_track
+    kf_every = 8
+    bj = {k: jnp.asarray(v) for k, v in b4.items()}
+    beams2, _ = extract_beams(bj["grid_mm"], UL_PROFILE.tof)
+    odo = _ekf_track(bj, UL_PROFILE)
+    sched = _origin_schedule(odo, UL_PROFILE)
+    kf_mask = (jnp.arange(64) % kf_every) == 0
+    g_seq, m_seq = jax.jit(
+        lambda bm, p: _map_pass(bm, p, UL_PROFILE, GEOM, True, kf_mask,
+                                sched))(beams2, odo)
+    g_chk, m_chk = jax.jit(
+        lambda bm, p: _map_pass_chunked(bm, p, UL_PROFILE, GEOM, kf_every,
+                                        sched))(beams2, odo)
+    print("chunked pass bit-equal grids:",
+          np.array_equal(np.asarray(g_chk), np.asarray(g_seq)),
+          "poses:", np.array_equal(np.asarray(m_chk), np.asarray(m_seq)),
+          "recenters:", int(np.asarray(sched["do"]).sum()), flush=True)
+
+    # end-to-end slam timing
     logs = [synth_room_scanlog(n_frames=256, seed=s, path="circle",
                                noise_mm=6.0, with_flow=True)
             for s in range(4)]
     fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
-    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * 16)[:64]
-         for k in fr[0]}
-    bd = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
-    sync(bd["x_m"])
-    res = slam_replay(bd, UL_PROFILE); sync(res.grid)
-    best = 1e9
-    for _ in range(2):
-        t0 = time.time(); res = slam_replay(bd, UL_PROFILE); sync(res.grid)
-        best = min(best, time.time() - t0)
-    print(f"slam B=64 T=256 best={best*1e3:.1f} ms "
-          f"({64*256/best/1e3:.1f}K frames/s)", flush=True)
+    for B2 in (64, 128):
+        b = {k: np.concatenate([np.stack([f[k] for f in fr])] * 32)[:B2]
+             for k in fr[0]}
+        bd = {k: jax.device_put(jnp.asarray(v), jax.devices()[0]) for k, v in b.items()}
+        sync(bd["x_m"])
+        t0 = time.time()
+        res = slam_replay(bd, UL_PROFILE); sync(res.grid)
+        print(f"slam B={B2} compile+first: {time.time()-t0:.1f} s", flush=True)
+        best = 1e9
+        for _ in range(2):
+            t0 = time.time(); res = slam_replay(bd, UL_PROFILE); sync(res.grid)
+            best = min(best, time.time() - t0)
+        print(f"slam B={B2} T=256 best={best*1e3:.1f} ms "
+              f"({B2*256/best/1e3:.1f}K frames/s)", flush=True)
 
 if __name__ == "__main__":
     main()
