@@ -341,13 +341,16 @@ def main(argv=None) -> int:
     pr.add_argument("--kernel", default="xla",
                     choices=("xla", "pallas", "pallas_db", "mxu", "mxu2",
                              "cone", "resident", "residentx",
-                             "resident_cone", "conex"),
+                             "resident_cone", "conex", "hybrid",
+                             "hybridx"),
                     help="map-update kernel: xla/pallas*/mxu*/resident/"
                          "residentx are bit-exact reference semantics "
                          "(residentx = the flagship whole-replay kernel, "
-                         "8 frames per program); cone/resident_cone are "
-                         "the dense inverse-model production mode "
-                         "(conex = grouped cone, fastest)")
+                         "8 frames per program); cone/resident_cone/conex "
+                         "are the dense inverse-model mode; hybrid/"
+                         "hybridx (grouped, fastest) are the PRODUCTION "
+                         "mode: dense free-space carve + the reference's "
+                         "exact endpoint occupied semantics")
     pr.add_argument("--ascii", action="store_true")
     pr.add_argument("--navlog", help="write a reference-format navlog.csv "
                                      "of the replay")

@@ -17,6 +17,28 @@ distances.  Only mult/add/compare/select — so the same jnp code runs
 identically inside the Pallas resident kernel (Mosaic has no atan2) and
 the two paths produce bit-identical grids.
 
+For that bit-equality to actually hold, NO floating-point ADD may feed
+a sign test: XLA (and LLVM below it, across HLO barriers — an
+`optimization_barrier` does NOT survive to machine code) freely
+contracts `a*b + c*d` into an FMA, and for a cell sitting EXACTLY on a
+fan boundary (pose on a cell center, diagonal cells — routine in real
+and synthetic flights) the 1-ulp difference between the contracted and
+two-rounding evaluations flips the classification.  Observed
+concretely: a hover flight with the pose at an exact cell center
+carved 8 diagonal cells in the fused XLA replay that the kernel did
+not.  So every angular decision is a direct comparison of two
+SINGLE-ROUNDED products (`p*q > r*t` — nothing to contract), against
+per-scan fan-boundary unit vectors (`fan_bounds`) whose own values are
+chains of single-rounded scalar ops, and the cell vector is kept in
+exact cell units (iota + integer-minus-pose offset, one rounded add)
+with the quadrant rotation done by exact negate/swap.  Range tests run
+in cell units too, so the one remaining float add — the squared radius
+`ax*ax + ay*ay` — has EXACT integer operands whenever the pose sits on
+a cell center (the geometry that produces angular ties), making FMA
+and two-rounding evaluations identical there; for arbitrary pose
+fractions a flip needs the true radius within 1 ulp of a threshold,
+which is astronomically unlikely and was never observed.
+
 Updates are order-free by construction (each cell gets exactly one delta
 per scan), so a plain saturating add is exact.
 """
@@ -63,74 +85,111 @@ def pack_beams(beams32, tof: TofConfig):
     return jnp.where(hit32, d32, -d32)
 
 
-def fan_basis(yaw_deg, tof: TofConfig):
-    """Unit vector of the FRONT fan's start bearing (yaw - half_fov)."""
-    a = (yaw_deg - _F32(tof.half_fov_deg)) * _DEG2RAD
-    return jnp.cos(a), jnp.sin(a)
+def smooth_carve_returns(packed32, tof: TofConfig):
+    """Angular erosion of the carve limit for the HYBRID mode: each
+    column's carve distance becomes the min of its own and its two
+    in-fan neighbors' valid return distances (fan edges clamp).  A wall
+    seen at grazing incidence spans adjacent columns with very
+    different ranges; carving each column to its OWN return repeatedly
+    eats the wall cells lateral to the beam (measured: wall cells driven
+    to -30..-41 on the line flight while the exact path holds them at
+    +18).  The min-of-3 stops the carve one beam-width short of any
+    range discontinuity, and also suppresses noise-driven erosion at
+    endpoints (all three neighbors must over-range for a carve to reach
+    the endpoint cell).  Entries stay 0 where the column itself has no
+    usable return (the carve still requires an own-column return, like
+    the exact path).  Shape-preserving on [..., 32] packed returns."""
+    a = jnp.abs(packed32)
+    a4 = a.reshape(a.shape[:-1] + (4, 8))
+    valid = a4 > _F32(tof.map_skip_below_m)
+    big = jnp.where(valid, a4, _F32(1e9))
+    left = jnp.concatenate([big[..., :1], big[..., :-1]], axis=-1)
+    right = jnp.concatenate([big[..., 1:], big[..., -1:]], axis=-1)
+    m = jnp.minimum(jnp.minimum(left, big), right)
+    out = jnp.where(valid, m, _F32(0.0))
+    return out.reshape(packed32.shape)
 
 
-def _col_bound(k: int, tof: TofConfig):
-    """Static unit vector of fan-column boundary k (k * fov/8 degrees
-    into the quadrant)."""
-    a = math.radians(float(tof.fov_deg) / 8.0 * k)
-    return _F32(math.cos(a)), _F32(math.sin(a))
+def fan_bounds(yaw_deg, tof: TofConfig):
+    """18 f32 scalars (b0x, b0y, b1x, b1y, ..., b8x, b8y): unit vectors
+    of the FRONT fan's 9 column boundaries in the global frame —
+    boundary k at bearing yaw - half_fov + k * fov/8 (b0 is the fan
+    start, b8 the fan end).  Each value is a chain of single-rounded
+    ops (add, mul, cos/sin — no contractible mul+add pair), so the
+    packer and the XLA replay compute bit-identical values and the
+    classifier's product comparisons are deterministic (module
+    docstring).  Boundary vectors for the R/B/L fans are never needed:
+    the classifier rotates the CELL vector by exact negate/swap
+    instead."""
+    step = float(tof.fov_deg) / 8.0
+    out = []
+    for k in range(9):
+        off = _F32(-float(tof.half_fov_deg) + step * k)
+        a = (yaw_deg + off) * _DEG2RAD
+        out.append(jnp.cos(a))
+        out.append(jnp.sin(a))
+    return tuple(out)
 
 
-def cone_cell_delta(rowsf, colsf, oxc, oyc, res: float, ux, uy, packed,
-                    tof: TofConfig, cone: ConeConfig):
+def cone_cell_delta(rowsf, colsf, oxc, oyc, res: float, bounds, packed,
+                    tof: TofConfig, cone: ConeConfig,
+                    with_occ_band: bool = True):
     """Per-cell log-odds delta (i32, broadcast [R, C]) for one scan,
     before bounds/enable gating.
 
     rowsf/colsf: f32 iotas [R, 1] / [1, C] (window-local cell indices);
-    oxc/oyc: f32 scalars such that the pose->cell vector in meters is
-    ((colsf + oxc) * res, (rowsf + oyc) * res) — they carry both the
-    window offset and the sub-cell pose fraction; ux/uy: fan-start unit
-    vector (fan_basis); packed: indexable of 32 f32 scalars (pack_beams
-    order F0..7, R0..7, B0..7, L0..7).
+    oxc/oyc: f32 scalars such that the pose->cell vector in CELL units
+    is (colsf + oxc, rowsf + oyc) — they carry both the window offset
+    and the sub-cell pose fraction; bounds: the 18 fan_bounds scalars;
+    packed: indexable of 32 f32 scalars (pack_beams order F0..7, R0..7,
+    B0..7, L0..7).
 
-    Only mult/add/compare/select ops — runs bit-identically under XLA
-    and inside Pallas kernels (IEEE f32 both).  Conventions: quadrant
-    boundaries go to the higher quadrant; column boundaries to the lower
-    column; the fan-end boundary (phi == fov) is IN the fan.
+    Only mult/add/compare/select ops, with every sign test a direct
+    comparison of two single-rounded products (no FMA-contractible
+    site) — runs bit-identically under XLA and inside Pallas kernels
+    (IEEE f32 both; see module docstring).  Conventions: quadrant
+    boundaries go to the higher quadrant; column boundaries to the
+    lower column; the fan-end boundary (phi == fov) is IN the fan.
     """
-    resf = _F32(res)
-    dx = (colsf + oxc) * resf            # [1, C] meters
-    dy = (rowsf + oyc) * resf            # [R, 1]
-    rng2 = dx * dx + dy * dy             # [R, C]
-    c = ux * dx + uy * dy                # rng * cos(phi_global)
-    s = ux * dy - uy * dx                # rng * sin(phi_global)
+    ax = colsf + oxc                     # [1, C] cell units
+    ay = rowsf + oyc                     # [R, 1]
+    ux, uy = bounds[0], bounds[1]        # fan-start unit vector
 
-    # quadrant (F, R, B, L) of the bearing relative to the fan start
-    m0 = (c > _F32(0.0)) & (s >= _F32(0.0))
-    m1 = (~m0) & (s > _F32(0.0))
-    m2 = (~m0) & (~m1) & (c < _F32(0.0))
+    # quadrant (F, R, B, L) of the bearing relative to the fan start:
+    # c > 0 <=> ux*ax > -(uy*ay); s >= 0 <=> ux*ay >= uy*ax — exact
+    # sign of the unrounded dot/cross given the rounded products
+    pxx = ux * ax                        # [1, C]
+    pyy = uy * ay                        # [R, 1]
+    pxy = ux * ay                        # [R, 1]
+    pyx = uy * ax                        # [1, C]
+    m0 = (pxx > -pyy) & (pxy >= pyx)
+    m1 = (~m0) & (pxy > pyx)
+    m2 = (~m0) & (~m1) & (pxx < -pyy)
     m_d1 = (~m0) & (~m1)                 # dir in {2, 3}
     m_d0 = m1 | (m_d1 & (~m2))           # dir in {1, 3}
 
-    # rotate into the quadrant frame: phi in [0, 90)
-    lc1 = jnp.where(m_d1, -c, c)
-    ls1 = jnp.where(m_d1, -s, s)
-    lc = jnp.where(m_d0, ls1, lc1)
-    ls = jnp.where(m_d0, -lc1, ls1)
+    # rotate the CELL vector into the quadrant frame (exact negate /
+    # swap): q0 (ax,ay), q1 (ay,-ax), q2 (-ax,-ay), q3 (-ay,ax)
+    axq = jnp.where(m_d0, jnp.where(m_d1, -ay, ay),
+                    jnp.where(m_d1, -ax, ax))
+    ayq = jnp.where(m_d0, jnp.where(m_d1, ax, -ax),
+                    jnp.where(m_d1, -ay, ay))
 
-    # 3-level binary search for the fan column: boundary k sits at
-    # k * fov/8 degrees; phi > boundary  <=>  cos_b*ls - sin_b*lc > 0
-    def above(cb, sb):
-        return cb * ls - sb * lc > _F32(0.0)
+    # 3-level binary search for the fan column: phi > boundary k  <=>
+    # cross(b_k, a') > 0  <=>  bx*ayq > by*axq (single-rounded products)
+    bx = lambda k: bounds[2 * k]
+    by = lambda k: bounds[2 * k + 1]
 
-    c4, s4 = _col_bound(4, tof)
-    b2 = above(c4, s4)
-    c2, s2 = _col_bound(2, tof)
-    c6, s6 = _col_bound(6, tof)
-    b1 = above(jnp.where(b2, c6, c2), jnp.where(b2, s6, s2))
-    c1, s1 = _col_bound(1, tof)
-    c3, s3 = _col_bound(3, tof)
-    c5, s5 = _col_bound(5, tof)
-    c7, s7 = _col_bound(7, tof)
-    b0 = above(jnp.where(b2, jnp.where(b1, c7, c5), jnp.where(b1, c3, c1)),
-               jnp.where(b2, jnp.where(b1, s7, s5), jnp.where(b1, s3, s1)))
-    c8, s8 = _col_bound(8, tof)
-    in_fan = ~above(c8, s8)              # phi <= fov
+    def above(bxv, byv):
+        return bxv * ayq > byv * axq
+
+    b2 = above(bx(4), by(4))
+    b1 = above(jnp.where(b2, bx(6), bx(2)), jnp.where(b2, by(6), by(2)))
+    b0 = above(jnp.where(b2, jnp.where(b1, bx(7), bx(5)),
+                         jnp.where(b1, bx(3), bx(1))),
+               jnp.where(b2, jnp.where(b1, by(7), by(5)),
+                         jnp.where(b1, by(3), by(1))))
+    in_fan = ~above(bx(8), by(8))        # phi <= fov
 
     # distance gather: 5-level select tree over (d1, d0, b2, b1, b0)
     level = [packed[i] for i in range(32)]
@@ -142,12 +201,24 @@ def cone_cell_delta(rowsf, colsf, oxc, oyc, res: float, ux, uy, packed,
     sec_hit = sec_p > _F32(0.0)
     sec_valid = sec_d > _F32(tof.map_skip_below_m)
 
-    dfree = jnp.maximum(sec_d - _F32(cone.free_margin_m), _F32(0.0))
-    maxr = _F32(tof.max_range_m)
+    # range tests in CELL units (exact integer operands when the pose
+    # sits on a cell center — the tie-prone geometry); inv_res and
+    # maxr2 are Python-side f32 constants, dfree a single-rounded chain
+    inv_res = _F32(1.0 / float(res))
+    rng2 = ax * ax + ay * ay             # [R, C]
+    maxr_c = _F32(float(np.float32(tof.max_range_m) * inv_res))
+    maxr2 = _F32(float(maxr_c * maxr_c))
+    dfree = jnp.maximum(sec_d - _F32(cone.free_margin_m),
+                        _F32(0.0)) * inv_res
     free = (in_fan & sec_valid & (rng2 > _F32(0.0))
-            & (rng2 < dfree * dfree) & (rng2 <= maxr * maxr))
-    olo = jnp.maximum(sec_d - _F32(cone.hit_band_m), _F32(0.0))
-    ohi = sec_d + _F32(cone.hit_band_m)
+            & (rng2 < dfree * dfree) & (rng2 <= maxr2))
+    if not with_occ_band:
+        # hybrid mode: the dense carve only; occupied evidence comes
+        # from the EXACT per-ray endpoint increments instead of arc
+        # bands (hybrid_scan_update / the hybridx kernel)
+        return jnp.where(free, jnp.int32(-cone.free_dec), jnp.int32(0))
+    olo = jnp.maximum(sec_d - _F32(cone.hit_band_m), _F32(0.0)) * inv_res
+    ohi = (sec_d + _F32(cone.hit_band_m)) * inv_res
     occ = (in_fan & sec_valid & sec_hit
            & (rng2 >= olo * olo) & (rng2 <= ohi * ohi))
     return jnp.where(occ, jnp.int32(cone.occ_inc),
@@ -190,9 +261,9 @@ def cone_scan_update(
     rowsf = lax.broadcasted_iota(jnp.int32, (WR, 1), 0).astype(jnp.float32)
     colsf = lax.broadcasted_iota(jnp.int32, (1, WC), 1).astype(jnp.float32)
 
-    ux, uy = fan_basis(yaw_deg, tof)
+    bounds = fan_bounds(yaw_deg, tof)
     packed = pack_beams(beams.reshape(32), tof)
-    delta = cone_cell_delta(rowsf, colsf, oxc, oyc, cfg.res_m, ux, uy,
+    delta = cone_cell_delta(rowsf, colsf, oxc, oyc, cfg.res_m, bounds,
                             packed, tof, cone)
 
     # logical-grid bound (the window sticks into the margins near edges)
@@ -212,3 +283,84 @@ cone_scan_update_batched = jax.vmap(
     cone_scan_update,
     in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None, None),
 )
+
+
+def hybrid_scan_update(
+    padded_grid: jnp.ndarray,
+    beams: jnp.ndarray,          # f32 [4, 8]
+    x_m, y_m, yaw_deg,
+    origin_x, origin_y,
+    enabled,
+    cfg: MapConfig = MapConfig(),
+    tof: TofConfig = TofConfig(),
+    geom: GridGeom = DEFAULT_GEOM,
+    cone: ConeConfig = ConeConfig(),
+) -> jnp.ndarray:
+    """HYBRID dense scan update (single quad): the cone mode's dense
+    free-space carve plus the reference's EXACT occupied semantics —
+    one +lo_occ_inc at each hitting ray's endpoint cell, the same
+    endpoints make_rays computes for the exact path (uav_local_nav.c:
+    286-304) — instead of arc bands at the measured range.  Fixes the
+    production path's occupied-set divergence under motion (round-2
+    occ-IoU 0.21-0.26 on moving flights, VERDICT weak 1).
+
+    Per scan the update is two order-free saturating stages, each exact
+    as a clipped sum (stage 1 deltas are all <= 0, stage 2 all >= 0):
+        v1 = clip(v0 + free_carve); v2 = clip(v1 + endpoint_sums)
+    The hybridx grouped kernel folds the same two clamp-affine maps per
+    frame, so the two paths are bit-identical."""
+    from micro_quad_slam_tpu.ops.raycast import make_rays
+
+    pcx, pcy = world_to_cell(x_m, y_m, origin_x, origin_y, cfg.res_m,
+                             cfg.width // 2, cfg.height // 2)
+    pose_in = (pcx >= 0) & (pcx < cfg.width) & (pcy >= 0) & (pcy < cfg.height)
+    en = enabled & pose_in
+    pcx = jnp.clip(pcx, 0, cfg.width - 1)
+    pcy = jnp.clip(pcy, 0, cfg.height - 1)
+
+    R = geom.win_r
+    WR, WC = geom.win_rows, geom.win_cols
+    r0 = pcy + geom.pad - R
+    c0 = pcx + geom.pad - R
+    win = lax.dynamic_slice(padded_grid, (r0, c0), (WR, WC))
+
+    res = _F32(cfg.res_m)
+    fx = (x_m - origin_x) / res + _F32(cfg.width // 2)
+    fy = (y_m - origin_y) / res + _F32(cfg.height // 2)
+    oxc = (pcx - R).astype(jnp.float32) - fx
+    oyc = (pcy - R).astype(jnp.float32) - fy
+    rowsf = lax.broadcasted_iota(jnp.int32, (WR, 1), 0).astype(jnp.float32)
+    colsf = lax.broadcasted_iota(jnp.int32, (1, WC), 1).astype(jnp.float32)
+
+    bounds = fan_bounds(yaw_deg, tof)
+    packed = smooth_carve_returns(pack_beams(beams.reshape(32), tof), tof)
+    dfree = cone_cell_delta(rowsf, colsf, oxc, oyc, cfg.res_m, bounds,
+                            packed, tof, cone, with_occ_band=False)
+
+    rows = lax.broadcasted_iota(jnp.int32, (WR, 1), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (1, WC), 1)
+    gy = rows + (pcy - R)
+    gx = cols + (pcx - R)
+    inb = ((gy >= 0) & (gy < cfg.height) & (gx >= 0) & (gx < cfg.width))
+    dfree = jnp.where(inb & en, dfree, 0)
+
+    # exact endpoint increments: one-hot row/col matmul over the scan's
+    # hitting rays (endpoints are validity-gated in-grid by make_rays,
+    # and always inside the pose-centered window)
+    rays = make_rays(beams, x_m, y_m, yaw_deg, origin_x, origin_y,
+                     en, cfg, tof)
+    ey = rays["ey"] + R                   # window coords   [32]
+    ex = rays["ex"] + R
+    d = jnp.where(rays["valid"], rays["end_delta"], 0).astype(jnp.float32)
+    rsel = (lax.broadcasted_iota(jnp.int32, (WR, 1), 0)
+            == ey[None, :]).astype(jnp.float32)            # [WR, 32]
+    csel = (ex[:, None]
+            == lax.broadcasted_iota(jnp.int32, (1, WC), 1)).astype(
+                jnp.float32)                               # [32, WC]
+    dend = lax.dot_general(rsel * d[None, :], csel,
+                           (((1,), (0,)), ((), ()))).astype(jnp.int32)
+
+    lo, hi = jnp.int32(cfg.lo_min), jnp.int32(cfg.lo_max)
+    v1 = jnp.clip(win.astype(jnp.int32) + dfree, lo, hi)
+    out = jnp.clip(v1 + dend, lo, hi).astype(jnp.int8)
+    return lax.dynamic_update_slice(padded_grid, out, (r0, c0))

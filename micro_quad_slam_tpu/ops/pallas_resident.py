@@ -82,7 +82,8 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     mode "cone": returns ((words i32 [T, B, 1, 128], fwords f32
     [T, B, 1, 128]), outs, final) — i32 words 0-7 = r0a, c0a, cy, cx,
     do, sy, sx, en; f32 words 0-31 = packed beam returns (pack_beams),
-    32-35 = ux, uy, oxc, oyc (cone_cell_delta scalars).
+    32-49 = fan_bounds scalars, 50/51 = oxc, oyc (cone_cell_delta
+    scalars).
 
     The scan carries ONLY the tiny sequential state (origins, inited,
     ToF filter); the heavy per-(t, b) ray packing runs vectorized over
@@ -162,15 +163,17 @@ def _schedule(frames: dict, cfg: PipelineConfig, geom: GridGeom,
                 do_, sy_, sx_)
         )(beamsT, xT, yT, yawT, so["ox"], so["oy"], enabled,
           do_rc, rsy, rsx)
-    elif mode in ("exact2", "cone2"):
+    elif mode in ("exact2", "cone2", "hybrid2"):
         from micro_quad_slam_tpu.ops.pallas_residentx import (
-            _pack_cone_x, _pack_words_x, pad_frames_to_group)
+            _pack_cone_x, _pack_hybrid_x, _pack_words_x,
+            pad_frames_to_group)
         args = [beamsT, xT, yT, yawT, so["ox"], so["oy"], enabled,
                 do_rc, rsy, rsx]
         # pad to the kernel's frame-group size with inert frames
         # (enabled=False => every ray invalid; do=False)
         args, _ = pad_frames_to_group(args, T)
-        packer = _pack_words_x if mode == "exact2" else _pack_cone_x
+        packer = {"exact2": _pack_words_x, "cone2": _pack_cone_x,
+                  "hybrid2": _pack_hybrid_x}[mode]
         words = packer(*args, cfg.map, cfg.tof, geom)
     else:
         words = jax.vmap(
@@ -189,7 +192,7 @@ def _pack_cone(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig, tof,
     f32 [B, 1, 128]).  Mirrors cone_scan_update's scalar prologue
     (ops/conemode.py) so the kernel's per-cell math sees identical f32
     inputs and the grids bit-match the XLA cone path."""
-    from micro_quad_slam_tpu.ops.conemode import fan_basis, pack_beams
+    from micro_quad_slam_tpu.ops.conemode import fan_bounds, pack_beams
     from micro_quad_slam_tpu.ops.raycast import world_to_cell
 
     R = geom.win_r
@@ -211,7 +214,7 @@ def _pack_cone(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig, tof,
     fy = (y - oy) / res + _F32(cfg.height // 2)
     oxc = (pcx - R).astype(jnp.float32) - fx
     oyc = (pcy - R).astype(jnp.float32) - fy
-    ux, uy = fan_basis(yaw, tof)
+    fb = fan_bounds(yaw, tof)                     # 18 x [B]
     packed = pack_beams(beams.reshape(B, 32), tof)
 
     iw = jnp.zeros((B, 128), jnp.int32)
@@ -223,8 +226,8 @@ def _pack_cone(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig, tof,
     iw = iw.at[:, 7].set(en.astype(jnp.int32))
     fw = jnp.zeros((B, 128), jnp.float32)
     fw = fw.at[:, 0:32].set(packed)
-    fw = fw.at[:, 32].set(ux).at[:, 33].set(uy)
-    fw = fw.at[:, 34].set(oxc).at[:, 35].set(oyc)
+    fw = fw.at[:, 32:50].set(jnp.stack(fb, axis=-1))
+    fw = fw.at[:, 50].set(oxc).at[:, 51].set(oyc)
     return iw[:, None, :], fw[:, None, :]
 
 
@@ -414,8 +417,9 @@ def _cone_pass(window: jnp.ndarray, rw, fw, geom: GridGeom, cfg: MapConfig,
     colsf = lax.broadcasted_iota(
         jnp.int32, (1, geom.win_cols), 1).astype(jnp.float32)
     packed = [fw(i) for i in range(32)]
-    delta = cone_cell_delta(rowsf, colsf, fw(34), fw(35), cfg.res_m,
-                            fw(32), fw(33), packed, tof, cone)
+    fb = tuple(fw(32 + i) for i in range(18))
+    delta = cone_cell_delta(rowsf, colsf, fw(50), fw(51), cfg.res_m,
+                            fb, packed, tof, cone)
 
     # logical-grid bound + enable gate, as i32 products (1-D mask
     # broadcasts are unsupported relayouts in Mosaic)

@@ -41,8 +41,8 @@ processing (same primitives with 32-ray slices).  The schedule decides
 per group and ships the decision in the aux words.
 
 All window-domain results ride packed i32 bitfields through ONE roll per
-group: W1 = cnt:10 | mask:1 | s+2048:12, W2 = (A-lo):8 | (B-lo):8
-(ranges exact for <= 256 rays).  Scatter matmul operands are split into
+group: W1 = cnt:10 | mask:1 | s+4096:13, W2 = (A-lo):8 | (B-lo):8
+(ranges exact for <= 512 rays).  Scatter matmul operands are split into
 byte pieces so every bf16 product is exact.
 
 Frames with no valid rays skip their work behind scalar branches.
@@ -71,7 +71,16 @@ from micro_quad_slam_tpu.utils.config import MapConfig, PipelineConfig, TofConfi
 
 _MAGIC_SHIFT = 19
 _INT_MIN = np.int32(-(2 ** 31))
-GROUP_F = 8               # frames per program (static)
+GROUP_F = 8               # default frames per program (static)
+
+
+def group_f() -> int:
+    """Frames per program for the grouped kernels.  Env-overridable
+    (MQS_GROUP_F) for A/B measurement on hardware; every packer and
+    kernel is parametric in F, and the packed bitfields are sized for
+    R = F*32 <= 512 rays per group."""
+    import os
+    return int(os.environ.get("MQS_GROUP_F", GROUP_F))
 
 # Per-frame word block: f32 [32, 128] (the kernel converts to i32).
 # Row params live at fixed rows, lanes 0..31; column params live at
@@ -184,12 +193,14 @@ def _pack_aux(r0a, c0a, cy_s, cx_s, do_f, rsy, rsx, active, hdr,
 
 def _pack_words_x(beamsT, xT, yT, yawT, oxT, oyT, enabledT, doT, rsyT,
                   rsxT, cfg: MapConfig, tof: TofConfig, geom: GridGeom,
-                  F: int = GROUP_F):
+                  F: int | None = None):
     """Vectorized schedule packer: all inputs [T, B] (beamsT
     [T, B, 4, 8]); T must be a multiple of F (callers pad with inert
     frames, see pad_frames_to_group).  Returns (aux i32 [g, B, 1, 8F+8],
     words f32 [g, B, F, 32, 128]) with g = T // F (see module
     layout)."""
+    if F is None:
+        F = group_f()
     T, B = xT.shape
     assert T % F == 0, (T, F)
     g = T // F
@@ -268,10 +279,12 @@ def _placement() -> np.ndarray:
     return P.reshape(9 * 32, 4096)
 
 
-def pad_frames_to_group(arrs, T: int, F: int = GROUP_F):
+def pad_frames_to_group(arrs, T: int, F: int | None = None):
     """Pad [T, ...]-leading arrays with inert frames to a multiple of F
     (padded frames must carry enabled=False / do=False so they are
     no-ops).  Returns (padded arrays, pad count)."""
+    if F is None:
+        F = group_f()
     padn = (-T) % F
     if padn == 0:
         return list(arrs), 0
@@ -431,13 +444,13 @@ def _fix_pass(wv2, exa_r, eya_r, val_r, wx_c, wy_c, cfg: MapConfig,
     dot = lambda a: lax.dot_general(a, m2f, (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32)
     i32 = lambda a: a.astype(jnp.int32)
-    s2f = (s_row + 2048).astype(f32)
+    s2f = (s_row + 4096).astype(f32)
     s_h = jnp.floor(s2f * f32(1 / 256))
     s_l = s2f - s_h * f32(256)
     af_b = (a_row - cfg.lo_min).astype(f32)              # [0, range]
     bf_b = (b_row - cfg.lo_min).astype(f32)
     mask = i32(dot(af))
-    s_map = i32(dot(af * s_l)) + 256 * i32(dot(af * s_h)) - 2048
+    s_map = i32(dot(af * s_l)) + 256 * i32(dot(af * s_h)) - 4096
     a_map = i32(dot(af * af_b)) + cfg.lo_min
     b_map = i32(dot(af * bf_b)) + cfg.lo_min
     return mask, s_map, a_map, b_map
@@ -447,15 +460,15 @@ def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
                 cfg: MapConfig, geom: GridGeom):
     """Full window update for R rays on the [96, 256] aligned slab (in
     place): count + endpoint fix-up, packed into two i32 bitfield words
-    (W1 = cnt:10 | mask:1 | s+2048:12; W2 = (A-lo):8 | (B-lo):8 — ranges
-    exact for R <= 256 rays) and moved to slab lane coordinates with ONE
+    (W1 = cnt:10 | mask:1 | s+4096:13; W2 = (A-lo):8 | (B-lo):8 — ranges
+    exact for R <= 512 rays) and moved to slab lane coordinates with ONE
     dynamic roll of the stacked [2*96, 256] pair.  cwl: window lane base
     within the slab (all fields are positive, so the arithmetic >>
     unpacking stays exact)."""
     cnt = _count_pass(wv2, wx_c, wy_c, geom)
     mask, s_map, a_map, b_map = _fix_pass(wv2, exa_r, eya_r, val_r,
                                           wx_c, wy_c, cfg, geom)
-    w1 = cnt | mask << 10 | (s_map + 2048) << 11
+    w1 = cnt | mask << 10 | (s_map + 4096) << 11
     w2 = (a_map - cfg.lo_min) | (b_map - cfg.lo_min) << 8
     wr = geom.win_rows
     both = jnp.concatenate(
@@ -466,7 +479,7 @@ def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
 
     slab0 = slab[...].astype(jnp.int32)
     cnt2 = w1r & 0x3FF
-    s2 = ((w1r >> 11) & 0xFFF) - 2048
+    s2 = ((w1r >> 11) & 0x1FFF) - 4096
     a2 = (w2r & 0xFF) + jnp.int32(cfg.lo_min)
     b2 = ((w2r >> 8) & 0xFF) + jnp.int32(cfg.lo_min)
     base = jnp.maximum(slab0 - cnt2 * jnp.int32(cfg.lo_free_dec),
@@ -767,16 +780,33 @@ def _map_chunk_sched_jit(grids, beams, x, y, yaw_deg, ox, oy, do, rsy,
 # either coordinate frame.
 # ----------------------------------------------------------------------
 
+def _pack_hybrid_x(*args, **kw):
+    """_pack_cone_x in hybrid mode (positional-arg twin for _schedule)."""
+    return _pack_cone_x(*args, hybrid=True, **kw)
+
+
 def _pack_cone_x(beamsT, xT, yT, yawT, oxT, oyT, enabledT, doT, rsyT,
                  rsxT, cfg: MapConfig, tof: TofConfig, geom: GridGeom,
-                 F: int = GROUP_F):
+                 F: int | None = None, hybrid: bool = False):
     """Cone-mode group packer: [T, B] inputs (T a multiple of F) ->
     (aux i32 [g, B, 1, 8F+8], fwords f32 [g, B, 1, F*128]).  Per-frame
-    f32 lanes: 0..31 packed beam returns, 32 ux, 33 uy, 34/35 group
-    oxc/oyc, 36/37 per-frame (fallback) oxc/oyc."""
-    from micro_quad_slam_tpu.ops.conemode import fan_basis, pack_beams
+    f32 lanes: 0..31 packed beam returns, 32..49 the 18 fan-boundary
+    unit-vector scalars (conemode.fan_bounds), 50/51 group oxc/oyc,
+    52/53 per-frame (fallback) oxc/oyc.
+
+    hybrid: additionally lanes 54..85 carry the 32 exact ray endpoints'
+    pose-relative window COLUMNS (make_rays ex), lanes 86/87 the pose
+    cell's row/col in GROUP-window coordinates (fast path; the fallback
+    derives them from aux cy_s / win_r instead), and a third output
+    hwords f32 [g, B, F, 8, 128] carries per frame row 0 = endpoint
+    pose-relative ROWS (ey), row 1 = endpoint deltas (0 for invalid or
+    miss rays) — the kernel rebuilds the exact one-hot endpoint scatter
+    from these (hybridx mode)."""
+    from micro_quad_slam_tpu.ops.conemode import fan_bounds, pack_beams
     from micro_quad_slam_tpu.ops.raycast import world_to_cell
 
+    if F is None:
+        F = group_f()
     T, B = xT.shape
     assert T % F == 0, (T, F)
     g = T // F
@@ -817,22 +847,60 @@ def _pack_cone_x(beamsT, xT, yT, yawT, oxT, oyT, enabledT, doT, rsyT,
     oxc_f = (pcx - R).astype(jnp.float32) - fx
     oyc_f = (r0a - geom.pad).astype(jnp.float32) - fy
 
-    ux, uy = fan_basis(yaw, tof)
+    fb = [v[:, None] for v in fan_bounds(yaw, tof)]      # 18 x [TB, 1]
     packed = pack_beams(flat(beamsT).reshape(T * B, 32), tof)
+    if not hybrid:
+        fw = jnp.concatenate(
+            [packed, *fb, oxc_g[:, None],
+             oyc_g[:, None], oxc_f[:, None], oyc_f[:, None],
+             jnp.zeros((T * B, 128 - 54), jnp.float32)], axis=-1)
+        fw = jnp.moveaxis(fw.reshape(g, F, B, 128), 1, 2)
+        return aux, fw.reshape(g, B, 1, F * 128)
+
+    # hybrid: smoothed carve limits (min-of-3 angular erosion, see
+    # conemode.smooth_carve_returns) + the exact path's ray endpoints
+    # (same make_rays the exact kernel's schedule uses, so the occupied
+    # cells are IDENTICAL)
+    from micro_quad_slam_tpu.ops.conemode import smooth_carve_returns
+    packed = smooth_carve_returns(packed, tof)
+    rays = jax.vmap(
+        lambda b_, x_, y_, yaw_, ox_, oy_, en_: make_rays(
+            b_, x_, y_, yaw_, ox_, oy_, en_, cfg, tof)
+    )(flat(beamsT), x, y, flat(yawT), ox, oy, en != 0)
+    ed = jnp.where(rays["valid"], rays["end_delta"], 0)  # [TB, 32]
+    # pose cell in GROUP-window coords (fast path; garbage for inactive
+    # frames is harmless — their endpoint deltas are all 0)
+    prow_g = hdr["cyg"].reshape(T * B).astype(jnp.float32)
+    pcol_g = (hdr["cxg"] - hdr["cwl"][:, None]).reshape(
+        T * B).astype(jnp.float32)
     fw = jnp.concatenate(
-        [packed, ux[:, None], uy[:, None], oxc_g[:, None], oyc_g[:, None],
-         oxc_f[:, None], oyc_f[:, None],
-         jnp.zeros((T * B, 128 - 38), jnp.float32)], axis=-1)
+        [packed, *fb, oxc_g[:, None],
+         oyc_g[:, None], oxc_f[:, None], oyc_f[:, None],
+         rays["ex"].astype(jnp.float32),
+         prow_g[:, None], pcol_g[:, None],
+         jnp.zeros((T * B, 128 - 88), jnp.float32)], axis=-1)
     fw = jnp.moveaxis(fw.reshape(g, F, B, 128), 1, 2)
-    return aux, fw.reshape(g, B, 1, F * 128)
+    hw = jnp.zeros((T * B, 8, 128), jnp.float32)
+    hw = hw.at[:, 0, 0:32].set(rays["ey"].astype(jnp.float32))
+    hw = hw.at[:, 1, 0:32].set(ed.astype(jnp.float32))
+    hw = jnp.moveaxis(hw.reshape(g, F, B, 8, 128), 1, 2)
+    return aux, fw.reshape(g, B, 1, F * 128), hw
 
 
 def _cone_fold(fwv, en_of, frames_idx, oxc_slot, oyc_slot, base_gy,
-               base_gx, cfg: MapConfig, tof, cone, geom: GridGeom):
+               base_gx, cfg: MapConfig, tof, cone, geom: GridGeom,
+               hybrid: bool = False, hwv=None, pose_rc=None):
     """Fold the listed frames' cone deltas into the exact composed clamp
     map (s, A, B) on the [96, 128] window whose corner sits at logical
     cell (base_gy, base_gx).  fwv(f, k): f32 scalar reader; en_of(f):
-    i32 enable scalar."""
+    i32 enable scalar.
+
+    hybrid: each frame folds TWO clamp-affine stages — the dense free
+    carve (occ band suppressed) and then the EXACT per-ray endpoint
+    increments rebuilt from hwv(f) -> (ey row, delta row) [1, 32] plus
+    the ex scalars at fw lanes 54..85; pose_rc(f) -> (prow, pcol) i32
+    scalars give the frame's pose cell in window coordinates.  This is
+    bit-identical to conemode.hybrid_scan_update per frame."""
     rowsf = lax.broadcasted_iota(
         jnp.int32, (geom.win_rows, 1), 0).astype(jnp.float32)
     colsf = lax.broadcasted_iota(
@@ -850,41 +918,82 @@ def _cone_fold(fwv, en_of, frames_idx, oxc_slot, oyc_slot, base_gy,
     sS = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
     aS = jnp.full((geom.win_rows, geom.win_cols), cfg.lo_min, jnp.int32)
     bS = jnp.full((geom.win_rows, geom.win_cols), cfg.lo_max, jnp.int32)
+
+    def fold(d):
+        nonlocal sS, aS, bS
+        sS = sS + d
+        aS = jnp.minimum(jnp.maximum(aS + d, lo), hi)
+        bS = jnp.minimum(jnp.maximum(bS + d, lo), hi)
+
+    lanes = lax.broadcasted_iota(jnp.int32, (1, geom.win_cols), 1)
     for f in frames_idx:
         packed = [fwv(f, i) for i in range(32)]
+        fb = tuple(fwv(f, 32 + i) for i in range(18))
         delta = cone_cell_delta(rowsf, colsf, fwv(f, oxc_slot),
                                 fwv(f, oyc_slot), cfg.res_m,
-                                fwv(f, 32), fwv(f, 33), packed, tof, cone)
-        delta = delta * bounds * en_of(f)
-        sS = sS + delta
-        aS = jnp.minimum(jnp.maximum(aS + delta, lo), hi)
-        bS = jnp.minimum(jnp.maximum(bS + delta, lo), hi)
+                                fb, packed, tof, cone,
+                                with_occ_band=not hybrid)
+        fold(delta * bounds * en_of(f))
+        if hybrid:
+            eyv, edv = hwv(f)                            # f32 [1, 32]
+            prow, pcol = pose_rc(f)
+            ey_w = eyv.astype(jnp.int32) + prow
+            M1 = jnp.where(rows == ey_w, edv, jnp.float32(0))  # [96, 32]
+            M2 = jnp.concatenate(
+                [(lanes == (fwv(f, 54 + i).astype(jnp.int32) + pcol)
+                  ).astype(jnp.float32) for i in range(32)],
+                axis=0)                                  # [32, 128]
+            d2 = lax.dot_general(M1, M2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            # deltas are 0 for invalid/miss rays and make_rays already
+            # gates on enable, so no further masking is needed
+            fold(d2.astype(jnp.int32))
     return sS, aS, bS
 
 
 def _cone_apply(sS, aS, bS, slab, shift, cfg: MapConfig, geom: GridGeom):
-    """Pack (s+512):10 | (A-lo):8 | (B-lo):8 | touched:1, roll the
+    """Pack (s+8192):14 | (A-lo):8 | (B-lo):8 | touched:1, roll the
     [96, 256]-padded word by `shift` lanes, unpack and apply
-    min(max(v0+s, A), B) on the slab (identity off the window)."""
-    word = ((sS + 512) | (aS - cfg.lo_min) << 10
-            | (bS - cfg.lo_min) << 18 | 1 << 26)
+    min(max(v0+s, A), B) on the slab (identity off the window).  The
+    14-bit s field holds hybrid-mode endpoint pileups (up to 32 rays x
+    +6 per frame x F frames = +-3072 at F <= 16); plain cone deltas are
+    within +-6F."""
+    word = ((sS + 8192) | (aS - cfg.lo_min) << 14
+            | (bS - cfg.lo_min) << 22 | 1 << 30)
     w256 = pltpu.roll(
         jnp.pad(word, ((0, 0), (0, geom.win_cols))), shift, 1)
     slab0 = slab[...].astype(jnp.int32)
-    s2 = (w256 & 0x3FF) - 512
-    a2 = ((w256 >> 10) & 0xFF) + jnp.int32(cfg.lo_min)
-    b2 = ((w256 >> 18) & 0xFF) + jnp.int32(cfg.lo_min)
+    s2 = (w256 & 0x3FFF) - 8192
+    a2 = ((w256 >> 14) & 0xFF) + jnp.int32(cfg.lo_min)
+    b2 = ((w256 >> 22) & 0xFF) + jnp.int32(cfg.lo_min)
     out = jnp.minimum(jnp.maximum(slab0 + s2, a2), b2)
-    out = jnp.where((w256 & (1 << 26)) != 0, out, slab0)
+    out = jnp.where((w256 & (1 << 30)) != 0, out, slab0)
     slab[...] = out.astype(jnp.int8)
 
 
 def _conex_kernel(ws_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
                   sem_g, sem_w, sem_o, *, geom: GridGeom, cfg: MapConfig,
                   tof, cone, ng: int, F: int):
+    return _conex_body(ws_ref, fw_ref, None, grid_ref, out_ref, vgrid,
+                       slab, sem_g, sem_w, sem_o, geom=geom, cfg=cfg,
+                       tof=tof, cone=cone, ng=ng, F=F)
+
+
+def _hybridx_kernel(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid,
+                    slab, sem_g, sem_w, sem_o, *, geom: GridGeom,
+                    cfg: MapConfig, tof, cone, ng: int, F: int):
+    return _conex_body(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid,
+                       slab, sem_g, sem_w, sem_o, geom=geom, cfg=cfg,
+                       tof=tof, cone=cone, ng=ng, F=F)
+
+
+def _conex_body(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid, slab,
+                sem_g, sem_w, sem_o, *, geom: GridGeom, cfg: MapConfig,
+                tof, cone, ng: int, F: int):
     """ws_ref: SMEM i32 [1, 1, 1, 8F+8]; fw_ref: SMEM f32
-    [1, 1, 1, F*128]; grid_ref/out_ref: ANY i8 (aliased); vgrid/slab:
-    VMEM scratch."""
+    [1, 1, 1, F*128]; hw_ref: VMEM f32 [1, 1, F, 8, 128] endpoint rows
+    (hybrid mode) or None (plain cone); grid_ref/out_ref: ANY i8
+    (aliased); vgrid/slab: VMEM scratch."""
     from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
 
     t = pl.program_id(1)
@@ -893,6 +1002,12 @@ def _conex_kernel(ws_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
     G = lambda k: ws_ref[0, 0, 0, 8 * F + k]
     fwv = lambda f, k: fw_ref[0, 0, 0, 128 * f + k]
     en_of = lambda f: A_(f, _A_ANY)
+    hybrid = hw_ref is not None
+    hwv = None
+    if hybrid:
+        hwv = lambda f: (hw_ref[0, 0, f, 0:1, 0:32],
+                         hw_ref[0, 0, f, 1:2, 0:32])
+    fw_i32 = lambda f, k: fwv(f, k).astype(jnp.int32)
     wr, wc = geom.win_rows, geom.win_cols
     awc = 2 * wc
 
@@ -916,8 +1031,10 @@ def _conex_kernel(ws_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
         cp.wait()
         base_gy = r0g - geom.pad
         base_gx = c0g + G(_G_CWL) - geom.pad
-        sS, aS, bS = _cone_fold(fwv, en_of, range(F), 34, 35, base_gy,
-                                base_gx, cfg, tof, cone, geom)
+        sS, aS, bS = _cone_fold(
+            fwv, en_of, range(F), 50, 51, base_gy, base_gx, cfg, tof,
+            cone, geom, hybrid=hybrid, hwv=hwv,
+            pose_rc=lambda f: (fw_i32(f, 86), fw_i32(f, 87)))
         _cone_apply(sS, aS, bS, slab, G(_G_CWL), cfg, geom)
         cp = pltpu.make_async_copy(
             slab, vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], sem_w)
@@ -945,9 +1062,10 @@ def _conex_kernel(ws_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
                 cp.wait()
                 base_gy = r0a - geom.pad
                 base_gx = c0a + (cx_s - geom.win_r) - geom.pad
-                sS, aS, bS = _cone_fold(fwv, en_of, [f], 36, 37,
-                                        base_gy, base_gx, cfg, tof,
-                                        cone, geom)
+                sS, aS, bS = _cone_fold(
+                    fwv, en_of, [f], 52, 53, base_gy, base_gx, cfg,
+                    tof, cone, geom, hybrid=hybrid, hwv=hwv,
+                    pose_rc=lambda f_: (A_(f_, _A_CYS), geom.win_r))
                 _cone_apply(sS, aS, bS, slab, cx_s - geom.win_r, cfg,
                             geom)
                 cp = pltpu.make_async_copy(
@@ -965,34 +1083,44 @@ def _conex_kernel(ws_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
 
 def pallas_replay_conex(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                         geom: GridGeom = DEFAULT_GEOM,
-                        interpret: bool | None = None, state0=None):
+                        interpret: bool | None = None, state0=None,
+                        hybrid: bool = False):
     """Whole-replay grouped cone kernel: same contract as
     pallas_replay_resident(mode="cone") — bit-identical to the XLA cone
-    path — at F frames per program (see module notes above)."""
+    path — at F frames per program (see module notes above).
+
+    hybrid=True: the HYBRID production mode — the dense free-space
+    carve with the reference's EXACT endpoint occupied semantics
+    (bit-identical to the XLA "hybrid" replay /
+    conemode.hybrid_scan_update)."""
     from micro_quad_slam_tpu.ops.pallas_resident import _check_vmem_fit
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     _check_vmem_fit(geom)
-    return _replay_conex_jit(frames, cfg, geom, interpret, state0)
+    return _replay_conex_jit(frames, cfg, geom, interpret, state0,
+                             hybrid)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
 def _replay_conex_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
-                      interpret: bool, state0=None):
+                      interpret: bool, state0=None,
+                      hybrid: bool = False):
     from micro_quad_slam_tpu.ops.pallas_resident import _schedule
     from micro_quad_slam_tpu.replay.mapping import MappingState
 
     B, T = frames["x_m"].shape
-    (aux, fwords), outs, (ox, oy, inited, filt) = _schedule(
-        frames, cfg, geom, "cone2", state0)
+    packed, outs, (ox, oy, inited, filt) = _schedule(
+        frames, cfg, geom, "hybrid2" if hybrid else "cone2", state0)
+    aux, fwords = packed[0], packed[1]
+    hwords = packed[2] if hybrid else None
     if state0 is not None:
         grids = state0.grid
     else:
         grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
 
     grid_out = _conex_call(aux, fwords, grids, cfg.map, cfg.tof, geom,
-                           interpret)
+                           interpret, hwords)
     state = MappingState(grid=grid_out, origin_x=ox, origin_y=oy,
                          inited=inited, filt=filt)
     outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}
@@ -1000,24 +1128,35 @@ def _replay_conex_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
 
 
 def _conex_call(aux, fwords, grids, map_cfg: MapConfig, tof,
-                geom: GridGeom, interpret: bool):
+                geom: GridGeom, interpret: bool, hwords=None):
     from micro_quad_slam_tpu.ops.conemode import ConeConfig
 
     B = grids.shape[0]
     g = aux.shape[0]
     F = fwords.shape[-1] // 128
-    kernel = functools.partial(_conex_kernel, geom=geom, cfg=map_cfg,
+    hybrid = hwords is not None
+    kern = _hybridx_kernel if hybrid else _conex_kernel
+    kernel = functools.partial(kern, geom=geom, cfg=map_cfg,
                                tof=tof, cone=ConeConfig(), ng=g, F=F)
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, 8 * F + 8), lambda b, t: (t, b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, 1, 128 * F), lambda b, t: (t, b, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    operands = [aux, fwords]
+    if hybrid:
+        in_specs.append(
+            pl.BlockSpec((1, 1, F, 8, 128),
+                         lambda b, t: (t, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(hwords)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands.append(grids)
     return pl.pallas_call(
         kernel,
         grid=(B, g),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 8 * F + 8), lambda b, t: (t, b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, 128 * F), lambda b, t: (t, b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(grids.shape, jnp.int8),
         scratch_shapes=[
@@ -1027,7 +1166,7 @@ def _conex_call(aux, fwords, grids, map_cfg: MapConfig, tof,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={2: 0},
+        input_output_aliases={len(operands) - 1: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(aux, fwords, grids)
+    )(*operands)

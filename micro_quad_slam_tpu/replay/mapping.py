@@ -184,6 +184,13 @@ def mapping_step(
                 gi, b, xi, yi, yawi, oxi, oyi, en, cfg.map, cfg.tof, geom
             )
         )(grid, beams, x, y, yaw, origin_x, origin_y, enabled)
+    elif kernel == "hybrid":
+        from micro_quad_slam_tpu.ops.conemode import hybrid_scan_update
+        grid = jax.vmap(
+            lambda gi, b, xi, yi, yawi, oxi, oyi, en: hybrid_scan_update(
+                gi, b, xi, yi, yawi, oxi, oyi, en, cfg.map, cfg.tof, geom
+            )
+        )(grid, beams, x, y, yaw, origin_x, origin_y, enabled)
     else:
         grid = jax.vmap(
             lambda gi, b, xi, yi, yawi, oxi, oyi, en: apply_scan_to_grid(
@@ -244,6 +251,13 @@ def _replay_batched(frames: dict, cfg: PipelineConfig, geom: GridGeom,
         from micro_quad_slam_tpu.ops.pallas_residentx import (
             pallas_replay_conex)
         return pallas_replay_conex(frames, cfg, geom, state0=state0)
+    if kernel == "hybridx":
+        # grouped HYBRID production kernel: dense free carve + exact
+        # reference endpoint semantics; bit-identical to "hybrid"
+        from micro_quad_slam_tpu.ops.pallas_residentx import (
+            pallas_replay_conex)
+        return pallas_replay_conex(frames, cfg, geom, state0=state0,
+                                   hybrid=True)
     if kernel in ("resident", "resident_cone"):
         # whole replay in ONE pallas launch: grid resident in VMEM per
         # quad, schedule precomputed by a grid-free scalar scan

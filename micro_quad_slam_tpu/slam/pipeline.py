@@ -51,7 +51,6 @@ from micro_quad_slam_tpu.ops.raycast import (
     recenter_apply,
     recenter_decide,
     shift_origin,
-    window_scan_update,
 )
 from micro_quad_slam_tpu.ops.scanmatch import match_scan, match_window
 from micro_quad_slam_tpu.slam.posegraph import (
@@ -184,13 +183,15 @@ def _match_kf(grids, beams_kf, x, y, yaw_deg, ox, oy, cfg, geom):
 
 
 def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
-              grid0=None):
+              grid0=None, snap_mask_t=None):
     """One sequential mapping pass.  poses [B, T, 3] (theta in rad).
-    If match=True, keyframe ticks scan-match the pose against the grid
-    before updating and the corrected poses are recorded.  sched: origin
-    /recenter schedule from _origin_schedule (None = fixed origin at the
-    track start, no recentering).  grid0 continues a previous segment's
-    map (mqs slam --resume)."""
+    If match=True, keyframe ticks scan-match the pose against the map
+    SNAPSHOT (refreshed at snap_mask_t frames — the submap-lag
+    formulation, SlamConfig.match_chunk_intervals; None = every
+    keyframe) before updating, and the corrected poses are recorded.
+    sched: origin/recenter schedule from _origin_schedule (None = fixed
+    origin at the track start, no recentering).  grid0 continues a
+    previous segment's map (mqs slam --resume)."""
     B, T = poses.shape[:2]
     if grid0 is None:
         grid0 = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
@@ -199,13 +200,19 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
         sched = {"ox": jnp.broadcast_to(poses[:, 0, 0][:, None], (B, T)),
                  "oy": jnp.broadcast_to(poses[:, 0, 1][:, None], (B, T)),
                  "do": z, "rsy": z, "rsx": z}
+    if snap_mask_t is None:
+        snap_mask_t = kf_mask_t
 
     def step(carry, inp):
-        grid, = carry
+        grid, snap = carry
         b, pose, kf_due = inp["beams"], inp["pose"], inp["kf"]
         ox, oy = inp["ox"], inp["oy"]
         grid = _recenter_grids(grid, inp["do"], inp["rsy"], inp["rsx"],
                                cfg, geom)
+        # refresh the match snapshot AFTER this frame's recenter, BEFORE
+        # this frame's update — exactly the chunk-start state of the
+        # chunked path (mid-interval recenters do NOT roll the snapshot)
+        snap = lax.cond(inp["snap"], lambda _: grid, lambda s: s, snap)
         x, yw = pose[..., 0], pose[..., 2]
         y = pose[..., 1]
         yaw_deg = jnp.rad2deg(yw)
@@ -216,51 +223,58 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
                 lambda a: _match_kf(a[0], b, a[1], a[2], a[3], ox, oy,
                                     cfg, geom),
                 lambda a: (a[1], a[2], a[3]),
-                (grid, x, y, yaw_deg))
+                (snap, x, y, yaw_deg))
 
         grid = jax.vmap(
             lambda gi, bb, xi, yi, yawi, oxi, oyi: apply_scan_to_grid(
                 gi, bb, xi, yi, yawi, oxi, oyi, True, cfg.map, cfg.tof, geom)
         )(grid, b, x, y, yaw_deg, ox, oy)
         out = jnp.stack([x, y, jnp.deg2rad(yaw_deg)], axis=-1)
-        return (grid,), out
+        return (grid, snap), out
 
     seq = {
         "beams": jnp.moveaxis(beams, 0, 1),
         "pose": jnp.moveaxis(poses, 0, 1),
         "kf": kf_mask_t,
+        "snap": snap_mask_t,
         "ox": jnp.moveaxis(sched["ox"], 0, 1),
         "oy": jnp.moveaxis(sched["oy"], 0, 1),
         "do": jnp.moveaxis(sched["do"], 0, 1),
         "rsy": jnp.moveaxis(sched["rsy"], 0, 1),
         "rsx": jnp.moveaxis(sched["rsx"], 0, 1),
     }
-    (grid,), corrected = lax.scan(step, (grid0,), seq)
+    (grid, _), corrected = lax.scan(step, (grid0, grid0), seq)
     return grid, jnp.moveaxis(corrected, 0, 1)
 
 
 def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
                       grid0=None):
     """TPU variant of the match=True _map_pass: identical sequence of
-    matches and grid updates (match keyframe t against the map built so
-    far, then update frames t..t+kf_every-1), but each keyframe interval
-    lands on the grid through ONE resident-kernel launch
-    (pallas_map_chunk_sched) and the chunks run under a lax.scan — the
-    per-step batched window IO was ~70% of SLAM cost and the unrolled
-    Python chunk loop made compile time linear in T (80 s at T=256).
-    Chunk-start recenters are applied OUTSIDE the kernel (the match must
-    see the rolled grid); mid-chunk recenters roll in-kernel."""
+    matches and grid updates, but each snapshot interval
+    (match_chunk_intervals keyframe intervals) lands on the grid through
+    ONE resident-kernel launch (pallas_map_chunk_sched) and the chunks
+    run under a lax.scan — per-launch overhead plus the
+    match->pack->kernel serialization was ~60% of pass-1 cost at one
+    launch per keyframe, and the unrolled Python chunk loop made
+    compile time linear in T (80 s at T=256).  All of a chunk's
+    keyframes match IN PARALLEL against the chunk-start grid (the
+    sequential path reads the same state through its snapshot carry —
+    bit-equality checked on TPU by tools/check_slam_tpu.py).
+    Chunk-start recenters are applied OUTSIDE the kernel (the matches
+    must see the rolled grid); mid-chunk recenters roll in-kernel."""
     from micro_quad_slam_tpu.ops.pallas_residentx import pallas_map_chunk_sched
 
     B, T = poses.shape[:2]
     grids = (jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
              if grid0 is None else grid0)
-    C = kf_every
+    n_iv = max(int(cfg.slam.match_chunk_intervals), 1)
+    C = kf_every * n_iv
     nc = -(-T // C)
     padn = nc * C - T
     # pad with inert frames: NaN beams make every ray invalid, so the
     # kernel leaves the grid untouched and the padded poses are sliced
-    # off the output
+    # off the output (a pad-frame match scores 0 -> quality 0 -> the
+    # gate rejects it, identical to the sequential path's pad behavior)
     pad_t = lambda a, v: jnp.pad(a, ((0, 0), (0, padn)) + ((0, 0),) *
                                  (a.ndim - 2), constant_values=v)
     beams_p = pad_t(beams, np.nan)
@@ -280,22 +294,38 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
         "pose": chunked(poses_p),
         **{k: chunked(v) for k, v in sch.items()},
     }
+    kf_offs = np.arange(0, C, kf_every)                   # chunk-local kf
 
     def body(grids, inp):
         # chunk-start recenter outside the kernel, then zero its do flag
         grids = _recenter_grids(grids, inp["do"][:, 0], inp["rsy"][:, 0],
                                 inp["rsx"][:, 0], cfg, geom)
         do = inp["do"].at[:, 0].set(0)
-        x = inp["pose"][:, 0, 0]
-        y = inp["pose"][:, 0, 1]
-        yaw_deg = jnp.rad2deg(inp["pose"][:, 0, 2])
-        x, y, yaw_deg = _match_kf(grids, inp["beams"][:, 0], x, y,
-                                  yaw_deg, inp["ox"][:, 0],
-                                  inp["oy"][:, 0], cfg, geom)
-        cx_ = jnp.concatenate([x[:, None], inp["pose"][:, 1:, 0]], axis=1)
-        cy_ = jnp.concatenate([y[:, None], inp["pose"][:, 1:, 1]], axis=1)
-        cyaw = jnp.concatenate(
-            [yaw_deg[:, None], jnp.rad2deg(inp["pose"][:, 1:, 2])], axis=1)
+
+        # all of this chunk's keyframes match the SAME chunk-start grid
+        # — one parallel (vmapped-over-keyframe) matcher batch.  Static
+        # python slicing + one-hot placement, NOT gather/scatter: a
+        # traced-index gather and an .at[].set scatter here crashed the
+        # XLA TPU fusion emitter (SortedScatterEmitter check failure).
+        stacko = lambda a: jnp.stack([a[:, int(o)] for o in kf_offs])
+        mx, my, myaw = jax.vmap(
+            lambda bm, x, y, w, ox_, oy_: _match_kf(
+                grids, bm, x, y, w, ox_, oy_, cfg, geom)
+        )(stacko(inp["beams"]), stacko(inp["pose"][..., 0]),
+          stacko(inp["pose"][..., 1]),
+          jnp.rad2deg(stacko(inp["pose"][..., 2])),
+          stacko(inp["ox"]), stacko(inp["oy"]))           # [n_iv, B]
+        M = np.zeros((len(kf_offs), C), np.float32)
+        M[np.arange(len(kf_offs)), kf_offs] = 1.0
+        sel = np.zeros((1, C), bool)
+        sel[0, kf_offs] = True
+        place = lambda m: lax.dot_general(
+            m.T, jnp.asarray(M), (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST)   # exact one-hot placement
+        cx_ = jnp.where(sel, place(mx), inp["pose"][..., 0])
+        cy_ = jnp.where(sel, place(my), inp["pose"][..., 1])
+        cyaw = jnp.where(sel, place(myaw),
+                         jnp.rad2deg(inp["pose"][..., 2]))
         grids = pallas_map_chunk_sched(
             grids, inp["beams"], cx_, cy_, cyaw, inp["ox"], inp["oy"],
             do, inp["rsy"], inp["rsx"], cfg, geom)
@@ -343,8 +373,11 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     beams, _ = extract_beams(frames["grid_mm"], cfg.tof)
 
     # keyframe cadence shared across the batch (single source of truth
-    # for both the sequential mask and the chunk boundaries)
+    # for both the sequential mask and the chunk boundaries); snapshots
+    # refresh every match_chunk_intervals keyframe intervals
     kf_mask = (jnp.arange(T) % kf_every) == 0
+    n_iv = max(int(cfg.slam.match_chunk_intervals), 1)
+    snap_mask = (jnp.arange(T) % (kf_every * n_iv)) == 0
     kf_idx = jnp.arange(0, T, kf_every)
     K = kf_idx.shape[0]
 
@@ -370,7 +403,7 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
                                        sched, grid0=grid0)
     else:
         _, matched = _map_pass(beams, odo, cfg, geom, True, kf_mask,
-                               sched, grid0=grid0)
+                               sched, grid0=grid0, snap_mask_t=snap_mask)
     if upto == 1:
         return matched
 
@@ -398,20 +431,32 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
         near = cand[i_best, iidx] < _F32(s.loop_r_max_m) ** 2
 
         # stage A: raster every keyframe's scan into its own [96, 128]
-        # LOCAL window, once — identical scores to the old
-        # fresh-full-grid raster (cells outside the window are 0 in both
-        # formulations) at ~1/30 the memory traffic.  Kept as a separate
-        # vmapped stage from the matching: fusing raster+match in one
-        # vmapped body compiled to a 7x slower program (the raster chain
-        # got duplicated into the matcher's operand production).
+        # LOCAL window, once.  The field is ENDPOINT-ONLY (the classic
+        # correlative-matching occupancy likelihood field): the matcher
+        # scores endpoint log-odds, so occupied evidence is what
+        # localizes, and skipping the free-space carve of the full
+        # 32-ray raster saved ~30 ms of the 191 ms pipeline at B=128 —
+        # the field is one exact one-hot matmul pair per keyframe.
+        # Kept as a separate vmapped stage from the matching: fusing
+        # raster+match in one vmapped body compiled to a 7x slower
+        # program (round 2).
         def raster(k):
             pk = kf_pose[k]
             rays = make_rays(kf_beams_b[k], pk[0], pk[1],
                              jnp.rad2deg(pk[2]), ox_k[k], oy_k[k], True,
                              cfg.map, cfg.tof)
-            win = window_scan_update(
-                jnp.zeros((geom.win_rows, geom.win_cols), jnp.int8),
-                rays, cfg.map, geom)
+            ey = rays["ey"] + geom.win_r    # endpoint cells, window coords
+            ex = rays["ex"] + geom.win_r
+            d = jnp.where(rays["valid"], rays["end_delta"],
+                          0).astype(jnp.float32)
+            rows = (jnp.arange(geom.win_rows)[:, None]
+                    == ey[None, :]).astype(jnp.float32)     # [96, 32]
+            cols = (ex[:, None]
+                    == jnp.arange(geom.win_cols)[None, :]).astype(
+                        jnp.float32)                        # [32, 128]
+            win = lax.dot_general(rows * d[None, :], cols,
+                                  (((1,), (0,)), ((), ())))
+            win = jnp.clip(win, 0, cfg.map.lo_max)
             return (win, rays["pcy"] + geom.pad - geom.win_r,
                     rays["pcx"] + geom.pad - geom.win_r)
 

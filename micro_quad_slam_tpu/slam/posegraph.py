@@ -100,38 +100,37 @@ def gauss_newton(graph: PoseGraph, iters: int = 10,
     j_idx = graph.edges_ij[:, 1]
     wmask = graph.edges_w * graph.edge_mask[:, None].astype(jnp.float32)
 
+    E = graph.edges_ij.shape[0]
+    # one-hot edge -> node selectors (built once; exact)
+    Si = (i_idx[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+    Sj = (j_idx[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+
     def step(nodes, _):
         r, Ji, Jj = _residuals_and_jacobians(nodes, graph)
         rw = r * wmask                                   # weighted residuals
-        # normal equations H dx = -b, assembled by scatter-add
-        H = jnp.zeros((K * 3, K * 3), jnp.float32)
-        b = jnp.zeros((K * 3,), jnp.float32)
-
-        JiW = Ji * wmask[:, :, None]
-        JjW = Jj * wmask[:, :, None]
-        Hii = jnp.einsum("eki,ekj->eij", JiW, Ji)
-        Hjj = jnp.einsum("eki,ekj->eij", JjW, Jj)
-        Hij = jnp.einsum("eki,ekj->eij", JiW, Jj)
-        bi = jnp.einsum("eki,ek->ei", Ji, rw)
-        bj = jnp.einsum("eki,ek->ei", Jj, rw)
-
-        def scatter_block(H, rows, cols, blk):
-            ri = rows[:, None] * 3 + jnp.arange(3)[None, :]
-            ci = cols[:, None] * 3 + jnp.arange(3)[None, :]
-            return H.at[ri[:, :, None], ci[:, None, :]].add(blk)
-
-        H = scatter_block(H, i_idx, i_idx, Hii)
-        H = scatter_block(H, j_idx, j_idx, Hjj)
-        H = scatter_block(H, i_idx, j_idx, Hij)
-        H = scatter_block(H, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2))
-        b = b.at[(i_idx[:, None] * 3 + jnp.arange(3)[None, :])].add(bi)
-        b = b.at[(j_idx[:, None] * 3 + jnp.arange(3)[None, :])].add(bj)
+        # Normal equations as DENSE matmuls on the block-sparse Jacobian
+        # A [3E, 3K] (A = Si (x) Ji + Sj (x) Jj via the one-hot
+        # selectors): H = (W A)^T A, b = (W A)^T r.  The previous
+        # scatter-add block assembly lowered to per-edge scatters — the
+        # one pattern TPUs dislike — and measured 39 ms of the 191 ms
+        # SLAM pipeline at B=128; the dense A is only [231, 78] at
+        # K=26, so the matmuls are effectively free on the MXU.
+        A = (Si[:, None, :, None] * Ji[:, :, None, :]
+             + Sj[:, None, :, None] * Jj[:, :, None, :])  # [E, 3, K, 3]
+        A = A.reshape(E * 3, K * 3)
+        Aw = A * wmask.reshape(E * 3)[:, None]
+        hi = jax.lax.Precision.HIGHEST
+        H = jax.lax.dot_general(Aw, A, (((0,), (0,)), ((), ())),
+                                precision=hi)             # [3K, 3K]
+        b = jax.lax.dot_general(Aw.T, r.reshape(E * 3)[:, None],
+                                (((1,), (0,)), ((), ())),
+                                precision=hi)[:, 0]       # [3K]
 
         # pin node 0: identity rows/cols, zero rhs
-        pin = jnp.arange(3)
-        H = H.at[pin, :].set(0.0).at[:, pin].set(0.0)
-        H = H.at[pin, pin].set(1.0)
-        b = b.at[pin].set(0.0)
+        pin_mask = (jnp.arange(K * 3) >= 3).astype(jnp.float32)
+        H = H * pin_mask[:, None] * pin_mask[None, :]
+        H = H + jnp.diag(1.0 - pin_mask)
+        b = b * pin_mask
         H = H + damping * jnp.eye(K * 3, dtype=jnp.float32)
 
         # H is SPD (Gauss-Newton normal equations + pin + damping):

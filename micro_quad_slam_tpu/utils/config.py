@@ -205,6 +205,16 @@ class SlamConfig:
     match_xy_step_m: float = 0.05
     match_yaw_step_deg: float = 1.0
     match_min_quality: float = 3.0  # accept gate: peak-minus-mean per hit
+    # Keyframes match against a map SNAPSHOT refreshed every this many
+    # keyframe intervals (the classic submap-lag formulation).  >1 lets
+    # the TPU path run one fused kernel launch per snapshot interval
+    # instead of per keyframe — the per-launch overhead and the
+    # match->pack->kernel serialization were ~60% of pass-1 cost — at
+    # the price of matching against a map that lags by up to
+    # (match_chunk_intervals-1) keyframe intervals.  Identical semantics
+    # on the TPU-chunked and sequential paths (bit-equality checked on
+    # TPU by tools/check_slam_tpu.py).
+    match_chunk_intervals: int = 4
     # revisit loop-closure candidates (pass 1b)
     loop_min_gap: int = 3          # candidate must be >= this many kf older
     loop_r_max_m: float = 1.0      # proximity gate on keyframe distance

@@ -116,3 +116,31 @@ def test_cone_vs_exact_divergence_quantified():
         assert div["iou_occupied_tol1"] >= 0.4, (b, div)
         assert div["iou_free"] >= 0.7, (b, div)
         assert div["touched_cells"] > 500
+
+
+def test_hybrid_occupied_matches_exact_reference():
+    """HYBRID production mode (dense free-space carve + the reference's
+    EXACT per-ray endpoint occupied semantics, uav_local_nav.c:286-304):
+    the occupied set must agree with the bit-exact path at ZERO cell
+    tolerance on the moving flights where plain cone mode collapsed to
+    0.21-0.26 occ-IoU (VERDICT round-2 weak item 1).  Floors: occ-IoU
+    (tol 0) >= 0.95, free-IoU >= 0.60 (the dense carve legitimately
+    marks more free cells than the 32 one-cell rays)."""
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+    from micro_quad_slam_tpu.utils.obs import map_divergence
+
+    logs = [synth_room_scanlog(n_frames=120, seed=s, path=p, noise_mm=5.0,
+                               dropout_p=0.02)
+            for s, p in ((0, "circle"), (1, "hover"), (2, "line"))]
+    fr = [scanlog_to_arrays(lg) for lg in logs]
+    frames = {k: np.stack([f[k] for f in fr]) for k in fr[0]}
+    st_exact, _ = replay_mapping_batched(frames, UL_PROFILE, kernel="xla")
+    st_h, _ = replay_mapping_batched(frames, UL_PROFILE, kernel="hybrid")
+    for b in range(len(logs)):
+        div = map_divergence(np.asarray(logical_grid(st_exact.grid))[b],
+                             np.asarray(logical_grid(st_h.grid))[b])
+        assert div["iou_occupied"] >= 0.95, (b, div)
+        assert div["iou_free"] >= 0.60, (b, div)
+        assert div["touched_cells"] > 500

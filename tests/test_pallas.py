@@ -316,6 +316,40 @@ def test_conex_replay_bit_matches_xla_cone_with_recenter():
                                       np.asarray(outs_c[k]), err_msg=k)
 
 
+def test_hybridx_replay_bit_matches_xla_hybrid_with_recenter():
+    """Grouped HYBRID kernel (interpret): bit-equal grids vs the XLA
+    hybrid path (conemode.hybrid_scan_update), mid-flight recentering
+    (fallback groups) included."""
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    logs = [
+        synth_room_scanlog(n_frames=24, seed=3, noise_mm=5.0, dropout_p=0.05),
+        synth_room_scanlog(n_frames=24, seed=7, noise_mm=4.0),
+        synth_room_scanlog(n_frames=24, seed=11, state=1),  # never inits
+    ]
+    frames = [scanlog_to_arrays(lg) for lg in logs]
+    batched = {k: np.stack([f[k] for f in frames]) for k in frames[0]}
+    T = batched["x_m"].shape[1]
+    batched["x_m"][1] = np.linspace(0.0, 34.0, T, dtype=np.float32)
+    batched["y_m"][1] = np.linspace(0.0, -21.0, T, dtype=np.float32)
+
+    st_c, outs_c = replay_mapping_batched(batched, UL_PROFILE,
+                                          kernel="hybrid")
+    st_x, outs_x = replay_mapping_batched(batched, UL_PROFILE,
+                                          kernel="hybridx")
+    assert (np.asarray(outs_c["kf_flags"]) != 0).sum() >= 1  # recentered
+    np.testing.assert_array_equal(np.asarray(st_x.grid),
+                                  np.asarray(st_c.grid))
+    np.testing.assert_array_equal(np.asarray(st_x.origin_x),
+                                  np.asarray(st_c.origin_x))
+    for k in outs_c:
+        np.testing.assert_array_equal(np.asarray(outs_x[k]),
+                                      np.asarray(outs_c[k]), err_msg=k)
+
+
 def test_conex_resume_bit_exact():
     """conex checkpoint-resume: a split replay equals the unbroken one."""
     from micro_quad_slam_tpu.replay.mapping import (

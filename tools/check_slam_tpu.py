@@ -49,8 +49,9 @@ def main():
     fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
     b4 = {k: np.stack([f[k] for f in fr] * 2) for k in fr[0]}
     # the schedule follows the EKF odometry, so the excursion must ride
-    # the flow stream: +5.5 m/s body-x for 6.4 s strays ~35 m
-    b4["of_rate_x"][3] = b4["of_rate_x"][3] + np.float32(5.5)
+    # the flow stream: -20 rad/s at 0.5 m ground = 10 m/s body-x, ~26 m
+    # of drift over 6.4 s -> two recenters (verified on CPU)
+    b4["of_rate_x"][3] = b4["of_rate_x"][3] + np.float32(-20.0)
     from micro_quad_slam_tpu.ops.beams import extract_beams
     from micro_quad_slam_tpu.slam.pipeline import _ekf_track
     kf_every = 8
@@ -59,9 +60,11 @@ def main():
     odo = _ekf_track(bj, UL_PROFILE)
     sched = _origin_schedule(odo, UL_PROFILE)
     kf_mask = (jnp.arange(64) % kf_every) == 0
+    n_iv = UL_PROFILE.slam.match_chunk_intervals
+    snap_mask = (jnp.arange(64) % (kf_every * n_iv)) == 0
     g_seq, m_seq = jax.jit(
         lambda bm, p: _map_pass(bm, p, UL_PROFILE, GEOM, True, kf_mask,
-                                sched))(beams2, odo)
+                                sched, snap_mask_t=snap_mask))(beams2, odo)
     g_chk, m_chk = jax.jit(
         lambda bm, p: _map_pass_chunked(bm, p, UL_PROFILE, GEOM, kf_every,
                                         sched))(beams2, odo)
@@ -75,8 +78,8 @@ def main():
                                noise_mm=6.0, with_flow=True)
             for s in range(4)]
     fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
-    for B2 in (64, 128):
-        b = {k: np.concatenate([np.stack([f[k] for f in fr])] * 32)[:B2]
+    for B2 in (64, 128, 256):
+        b = {k: np.concatenate([np.stack([f[k] for f in fr])] * 64)[:B2]
              for k in fr[0]}
         bd = {k: jax.device_put(jnp.asarray(v), jax.devices()[0]) for k, v in b.items()}
         sync(bd["x_m"])
