@@ -8,8 +8,9 @@ By default prints TWO JSON lines {"metric", "value", "unit",
 "vs_baseline", "kernel", "exact", "checksum"}: first `residentx` — the
 BIT-EXACT reference-semantics whole-replay kernel (the headline number;
 ops/pallas_residentx.py, grids bit-match the golden C model) — then
-`conex`, the dense inverse-sensor-model production mode (not bit-exact
-vs the reference; divergence quantified in PERFORMANCE.md).
+`hybridx`, the PRODUCTION mode (dense free-space carve + the
+reference's exact endpoint occupied semantics; occ-IoU 1.0/tol-0 vs the
+exact path on the divergence suites, tests/test_conemode.py).
 vs_baseline is the multiple of the reference pipeline's own fused-frame
 rate (~10 frames/s on the companion SBC, BASELINE.md).
 MQS_BENCH_KERNEL pins a single kernel (one line).
@@ -144,10 +145,10 @@ def main() -> None:
 
     ref_fps = 10.0  # reference fused-frame rate (BASELINE.md)
     # Default: bench BOTH the bit-exact flagship (residentx, the headline
-    # first line) and the dense production path (conex) so the driver
+    # first line) and the hybrid production path (hybridx) so the driver
     # record carries both numbers; MQS_BENCH_KERNEL pins one.
     pinned = os.environ.get("MQS_BENCH_KERNEL")
-    kernels = [pinned] if pinned else ["residentx", "conex"]
+    kernels = [pinned] if pinned else ["residentx", "hybridx"]
     for kernel in kernels:
         dt, checksum, metrics = bench_kernel(kernel)
         fps = B * T / dt
@@ -159,7 +160,8 @@ def main() -> None:
             "unit": "frames/s",
             "vs_baseline": round(fps / ref_fps, 1),
             "kernel": kernel,
-            "exact": kernel not in ("cone", "resident_cone", "conex"),
+            "exact": kernel not in ("cone", "resident_cone", "conex",
+                                    "hybrid", "hybridx"),
             "checksum": checksum,
         }))
         print(

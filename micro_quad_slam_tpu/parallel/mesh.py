@@ -98,19 +98,30 @@ def replay_mapping_sharded(
     return run(frames)
 
 
-def shard_pytree(tree, batch: int, mesh: Mesh, axis: str = LOGS_AXIS):
+def shard_pytree(tree, batch: int, mesh: Mesh, axis: str = LOGS_AXIS,
+                 replicate_names: tuple = ("key", "t_ms", "scan_count",
+                                           "cam_valid")):
     """Place a pytree on the mesh: leaves with a leading dim == batch are
     sharded over the logs axis, everything else (scalars, shared
-    constants, RNG keys) is replicated.  `batch` disambiguates — avoid
-    batch sizes that collide with non-batch leading dims (e.g. a raw
-    [2] PRNG key at batch=2)."""
-    def put(a):
+    constants, RNG keys) is replicated.
+
+    `replicate_names`: leaf field names (NamedTuple attribute / dict key,
+    the last path component) that are ALWAYS replicated regardless of
+    shape — the guard against a non-batch leaf whose leading dim happens
+    to equal `batch` (e.g. a raw [2] PRNG key at batch=2, which the
+    shape heuristic alone would wrongly shard)."""
+    def name_of(path):
+        last = path[-1] if path else None
+        return (getattr(last, "name", None) or getattr(last, "key", None)
+                or str(last))
+
+    def put(path, a):
         a = jnp.asarray(a)
-        shd = (NamedSharding(mesh, P(axis))
-               if a.ndim >= 1 and a.shape[0] == batch
-               else NamedSharding(mesh, P()))
+        shard = (a.ndim >= 1 and a.shape[0] == batch
+                 and name_of(path) not in replicate_names)
+        shd = NamedSharding(mesh, P(axis) if shard else P())
         return jax.device_put(a, shd)
-    return jax.tree_util.tree_map(put, tree)
+    return jax.tree_util.tree_map_with_path(put, tree)
 
 
 def replay_fusion_sharded(frames: dict, cfg: PipelineConfig = UL_PROFILE,

@@ -92,6 +92,13 @@ def main() -> int:
     record("conex_vs_xla_cone", _eq(st_cx.grid, st_c.grid),
            f"({time.time()-t0:.1f}s)")
 
+    # hybrid production mode: grouped kernel vs the XLA hybrid path
+    t0 = time.time()
+    st_hy, _ = replay_mapping_batched(frd, UL_PROFILE, kernel="hybrid")
+    st_hx, _ = replay_mapping_batched(frd, UL_PROFILE, kernel="hybridx")
+    record("hybridx_vs_xla_hybrid", _eq(st_hx.grid, st_hy.grid),
+           f"({time.time()-t0:.1f}s)")
+
     # map-track twins (the SLAM re-raster path)
     rng = np.random.default_rng(5)
     B, T = 4, 64
