@@ -794,14 +794,15 @@ def _pack_cone_x(beamsT, xT, yT, yawT, oxT, oyT, enabledT, doT, rsyT,
     unit-vector scalars (conemode.fan_bounds), 50/51 group oxc/oyc,
     52/53 per-frame (fallback) oxc/oyc.
 
-    hybrid: additionally lanes 54..85 carry the 32 exact ray endpoints'
-    pose-relative window COLUMNS (make_rays ex), lanes 86/87 the pose
-    cell's row/col in GROUP-window coordinates (fast path; the fallback
-    derives them from aux cy_s / win_r instead), and a third output
-    hwords f32 [g, B, F, 8, 128] carries per frame row 0 = endpoint
-    pose-relative ROWS (ey), row 1 = endpoint deltas (0 for invalid or
-    miss rays) — the kernel rebuilds the exact one-hot endpoint scatter
-    from these (hybridx mode)."""
+    hybrid: additionally lanes 86/87 carry the pose cell's row/col in
+    GROUP-window coordinates (fast path; the fallback derives them from
+    aux cy_s / win_r instead), and a third output hwords f32
+    [g, B, F, 8, 128] carries per frame row 0 = endpoint pose-relative
+    ROWS (ey), row 1 = endpoint deltas (0 for invalid or miss rays),
+    and lanes 100..103 of rows 0..7 = the endpoints' pose-relative
+    window COLUMNS (make_rays ex) as four [8, 1] column chunks — the
+    kernel rebuilds the exact one-hot endpoint scatter from these
+    (hybridx mode)."""
     from micro_quad_slam_tpu.ops.conemode import fan_bounds, pack_beams
     from micro_quad_slam_tpu.ops.raycast import world_to_cell
 
@@ -876,13 +877,19 @@ def _pack_cone_x(beamsT, xT, yT, yawT, oxT, oyT, enabledT, doT, rsyT,
     fw = jnp.concatenate(
         [packed, *fb, oxc_g[:, None],
          oyc_g[:, None], oxc_f[:, None], oyc_f[:, None],
-         rays["ex"].astype(jnp.float32),
+         jnp.zeros((T * B, 32), jnp.float32),
          prow_g[:, None], pcol_g[:, None],
          jnp.zeros((T * B, 128 - 88), jnp.float32)], axis=-1)
     fw = jnp.moveaxis(fw.reshape(g, F, B, 128), 1, 2)
     hw = jnp.zeros((T * B, 8, 128), jnp.float32)
     hw = hw.at[:, 0, 0:32].set(rays["ey"].astype(jnp.float32))
     hw = hw.at[:, 1, 0:32].set(ed.astype(jnp.float32))
+    # ex as four [8, 1] column chunks at lanes 100..103 (chunk k rows
+    # r = ray 8k + r): the kernel builds the endpoint one-hot with four
+    # broadcast compares instead of 32 per-ray lane compares
+    hw = hw.at[:, 0:8, 100:104].set(
+        rays["ex"].astype(jnp.float32).reshape(T * B, 4, 8)
+        .swapaxes(1, 2))
     hw = jnp.moveaxis(hw.reshape(g, F, B, 8, 128), 1, 2)
     return aux, fw.reshape(g, B, 1, F * 128), hw
 
@@ -933,21 +940,39 @@ def _cone_fold(fwv, en_of, frames_idx, oxc_slot, oyc_slot, base_gy,
                                 fwv(f, oyc_slot), cfg.res_m,
                                 fb, packed, tof, cone,
                                 with_occ_band=not hybrid)
-        fold(delta * bounds * en_of(f))
-        if hybrid:
-            eyv, edv = hwv(f)                            # f32 [1, 32]
-            prow, pcol = pose_rc(f)
-            ey_w = eyv.astype(jnp.int32) + prow
-            M1 = jnp.where(rows == ey_w, edv, jnp.float32(0))  # [96, 32]
-            M2 = jnp.concatenate(
-                [(lanes == (fwv(f, 54 + i).astype(jnp.int32) + pcol)
-                  ).astype(jnp.float32) for i in range(32)],
-                axis=0)                                  # [32, 128]
-            d2 = lax.dot_general(M1, M2, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-            # deltas are 0 for invalid/miss rays and make_rays already
-            # gates on enable, so no further masking is needed
-            fold(d2.astype(jnp.int32))
+        a = delta * bounds * en_of(f)
+        if not hybrid:
+            fold(a)
+            continue
+        eyv, edv, exc = hwv(f)
+        prow, pcol = pose_rc(f)
+        ey_w = eyv.astype(jnp.int32) + prow
+        # bf16 operands are exact here: one-hot selectors times
+        # integer deltas |ed| <= 6 (well under bf16's 256 integer
+        # range), so the f32-accumulated matmul is bit-identical to
+        # the f32 version while running at full MXU rate
+        M1 = jnp.where(rows == ey_w, edv,
+                       jnp.float32(0)).astype(jnp.bfloat16)  # [96, 32]
+        # endpoint columns arrive as four [8, 1] chunks (hw lanes
+        # 100..103, chunk k holding rays 8k..8k+7), so M2 is four
+        # broadcast compares — not 32 per-ray compares
+        M2 = jnp.concatenate(
+            [(lanes == exc(k) + pcol).astype(jnp.bfloat16)
+             for k in range(4)], axis=0)                 # [32, 128]
+        d2 = lax.dot_general(M1, M2, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        # deltas are 0 for invalid/miss rays and make_rays already
+        # gates on enable, so no further masking is needed
+        b = d2.astype(jnp.int32)
+        # the frame's two stages (carve a <= 0 then endpoints b >= 0)
+        # compose in closed form into ONE clamp-affine map
+        # (s, A, B) = (a + b, min(lo + b, hi), hi) — the same med
+        # composition the fold performs, so applying it in one fold
+        # step is bit-identical to folding the stages separately
+        sS = sS + (a + b)
+        A2 = jnp.minimum(lo + b, hi)
+        aS = jnp.minimum(jnp.maximum(aS + (a + b), A2), hi)
+        bS = jnp.minimum(jnp.maximum(bS + (a + b), A2), hi)
     return sS, aS, bS
 
 
@@ -1005,8 +1030,15 @@ def _conex_body(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid, slab,
     hybrid = hw_ref is not None
     hwv = None
     if hybrid:
-        hwv = lambda f: (hw_ref[0, 0, f, 0:1, 0:32],
-                         hw_ref[0, 0, f, 1:2, 0:32])
+        # rows 0/1 lanes 0..31: ey / ed row vectors; rows 0..7 lanes
+        # 100..103: ex as four [8, 1] column chunks (chunk k = rays
+        # 8k..8k+7) so the kernel never transposes
+        hwv = lambda f: (
+            hw_ref[0, 0, f, 0:1, 0:32],
+            hw_ref[0, 0, f, 1:2, 0:32],
+            lambda k: hw_ref[0, 0, f, 0:8,
+                             100 + k:101 + k].astype(jnp.int32),
+        )
     fw_i32 = lambda f, k: fwv(f, k).astype(jnp.int32)
     wr, wc = geom.win_rows, geom.win_cols
     awc = 2 * wc
