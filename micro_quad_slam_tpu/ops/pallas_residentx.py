@@ -489,13 +489,36 @@ def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
     slab[...] = out.astype(jnp.int8)
 
 
+def _flush_slab(st_ref, vgrid, slab, sem, geom: GridGeom):
+    """Write the sticky slab back to the resident grid if it is live.
+
+    st_ref: SMEM i32 [4] = (live, r0, c0, unused).  The slab caches the
+    [win_rows, 2*win_cols] aligned window at (r0, c0) ACROSS group
+    programs of the same quad (scratch persists over the inner grid
+    dim): a group whose window matches the live slab skips both the
+    write-back and the re-load DMA.  Any operation that reads or rolls
+    vgrid (recenter, fallback windows, final copy-out) must flush
+    first."""
+    @pl.when(st_ref[0] != 0)
+    def _():
+        r0 = pl.multiple_of(st_ref[1], 8)
+        c0 = pl.multiple_of(st_ref[2], 128)
+        cp = pltpu.make_async_copy(
+            slab, vgrid.at[pl.ds(r0, geom.win_rows),
+                           pl.ds(c0, 2 * geom.win_cols)], sem)
+        cp.start()
+        cp.wait()
+    st_ref[0] = 0
+
+
 def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
-                      sem_g, sem_w, sem_o, *, geom: GridGeom,
+                      st_ref, sem_g, sem_w, sem_o, *, geom: GridGeom,
                       cfg: MapConfig, ng: int, F: int):
     """ws_ref: SMEM i32 [1, 1, 1, 8F+8] (aux scalars); wv_ref: VMEM f32
     [1, 1, F, 32, 128] (word blocks; converted to i32 in-kernel);
     grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); vgrid:
-    resident VMEM grid; slab: VMEM i8 [96, 256] aligned window."""
+    resident VMEM grid; slab: VMEM i8 [96, 256] aligned window, sticky
+    across same-region groups (st_ref tracks its liveness/region)."""
     from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
 
     t = pl.program_id(1)
@@ -508,11 +531,16 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
         cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
         cp.start()
         cp.wait()
+        # previous quad flushed at its last group; discard stale state
+        # (also covers the uninitialized scratch at the very first
+        # program)
+        st_ref[0] = 0
 
     # frame-0 recenter applies before any of the group's rays (later-
     # frame recenters force the fallback path, which handles them inline)
     @pl.when(A(0, _A_DO) != 0)
     def _():
+        _flush_slab(st_ref, vgrid, slab, sem_w, geom)
         _recenter_in_vmem(vgrid, A(0, _A_RSY), A(0, _A_RSX), geom)
 
     wr, wc = geom.win_rows, geom.win_cols
@@ -522,10 +550,16 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
     def _():
         r0g = pl.multiple_of(G(_G_R0G), 8)
         c0g = pl.multiple_of(G(_G_C0G), 128)
-        cp = pltpu.make_async_copy(
-            vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], slab, sem_w)
-        cp.start()
-        cp.wait()
+
+        @pl.when((st_ref[0] == 0) | (st_ref[1] != r0g)
+                 | (st_ref[2] != c0g))
+        def _():
+            _flush_slab(st_ref, vgrid, slab, sem_w, geom)
+            cp = pltpu.make_async_copy(
+                vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], slab, sem_w)
+            cp.start()
+            cp.wait()
+
         wvi = wv_ref[0, 0].astype(jnp.int32)             # [F, 32, 128]
         wv2 = wvi.reshape(F * 32, 128)
         row = lambda r: jnp.concatenate(
@@ -536,13 +570,15 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
         _apply_rays(wv2, ex_r + wx_r, ey_r + wy_r, val_r,
                     wv2[:, _C_WX:_C_WX + 1], wv2[:, _C_WY:_C_WY + 1],
                     slab, G(_G_CWL), cfg, geom)
-        cp = pltpu.make_async_copy(
-            slab, vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], sem_w)
-        cp.start()
-        cp.wait()
+        # leave the slab live: the write-back happens on the next
+        # region change, recenter, fallback group, or final copy-out
+        st_ref[0] = 1
+        st_ref[1] = r0g
+        st_ref[2] = c0g
 
     @pl.when(G(_G_FAST) == 0)
     def _():
+        _flush_slab(st_ref, vgrid, slab, sem_w, geom)
         for f in range(F):
             if f > 0:   # frame-0 recenter already applied above
                 @pl.when(A(f, _A_DO) != 0)
@@ -579,6 +615,7 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
 
     @pl.when(t == ng - 1)
     def _():
+        _flush_slab(st_ref, vgrid, slab, sem_w, geom)
         cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
         cp.start()
         cp.wait()
@@ -651,6 +688,7 @@ def _residentx_call(aux, words, grids, map_cfg: MapConfig, geom: GridGeom,
         scratch_shapes=[
             pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
             pltpu.VMEM((geom.win_rows, 2 * geom.win_cols), jnp.int8),
+            pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -997,28 +1035,29 @@ def _cone_apply(sS, aS, bS, slab, shift, cfg: MapConfig, geom: GridGeom):
 
 
 def _conex_kernel(ws_ref, fw_ref, grid_ref, out_ref, vgrid, slab,
-                  sem_g, sem_w, sem_o, *, geom: GridGeom, cfg: MapConfig,
-                  tof, cone, ng: int, F: int):
+                  st_ref, sem_g, sem_w, sem_o, *, geom: GridGeom,
+                  cfg: MapConfig, tof, cone, ng: int, F: int):
     return _conex_body(ws_ref, fw_ref, None, grid_ref, out_ref, vgrid,
-                       slab, sem_g, sem_w, sem_o, geom=geom, cfg=cfg,
-                       tof=tof, cone=cone, ng=ng, F=F)
+                       slab, st_ref, sem_g, sem_w, sem_o, geom=geom,
+                       cfg=cfg, tof=tof, cone=cone, ng=ng, F=F)
 
 
 def _hybridx_kernel(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid,
-                    slab, sem_g, sem_w, sem_o, *, geom: GridGeom,
+                    slab, st_ref, sem_g, sem_w, sem_o, *, geom: GridGeom,
                     cfg: MapConfig, tof, cone, ng: int, F: int):
     return _conex_body(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid,
-                       slab, sem_g, sem_w, sem_o, geom=geom, cfg=cfg,
-                       tof=tof, cone=cone, ng=ng, F=F)
+                       slab, st_ref, sem_g, sem_w, sem_o, geom=geom,
+                       cfg=cfg, tof=tof, cone=cone, ng=ng, F=F)
 
 
 def _conex_body(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid, slab,
-                sem_g, sem_w, sem_o, *, geom: GridGeom, cfg: MapConfig,
-                tof, cone, ng: int, F: int):
+                st_ref, sem_g, sem_w, sem_o, *, geom: GridGeom,
+                cfg: MapConfig, tof, cone, ng: int, F: int):
     """ws_ref: SMEM i32 [1, 1, 1, 8F+8]; fw_ref: SMEM f32
     [1, 1, 1, F*128]; hw_ref: VMEM f32 [1, 1, F, 8, 128] endpoint rows
     (hybrid mode) or None (plain cone); grid_ref/out_ref: ANY i8
-    (aliased); vgrid/slab: VMEM scratch."""
+    (aliased); vgrid/slab: VMEM scratch, slab sticky across same-region
+    groups (st_ref: SMEM i32 [4] liveness/region, see _flush_slab)."""
     from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
 
     t = pl.program_id(1)
@@ -1048,19 +1087,27 @@ def _conex_body(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid, slab,
         cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
         cp.start()
         cp.wait()
+        st_ref[0] = 0      # see _residentx_kernel: discard stale slab
 
     @pl.when(A_(0, _A_DO) != 0)
     def _():
+        _flush_slab(st_ref, vgrid, slab, sem_w, geom)
         _recenter_in_vmem(vgrid, A_(0, _A_RSY), A_(0, _A_RSX), geom)
 
     @pl.when((G(_G_FAST) != 0) & (G(_G_ANY) != 0))
     def _():
         r0g = pl.multiple_of(G(_G_R0G), 8)
         c0g = pl.multiple_of(G(_G_C0G), 128)
-        cp = pltpu.make_async_copy(
-            vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], slab, sem_w)
-        cp.start()
-        cp.wait()
+
+        @pl.when((st_ref[0] == 0) | (st_ref[1] != r0g)
+                 | (st_ref[2] != c0g))
+        def _():
+            _flush_slab(st_ref, vgrid, slab, sem_w, geom)
+            cp = pltpu.make_async_copy(
+                vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], slab, sem_w)
+            cp.start()
+            cp.wait()
+
         base_gy = r0g - geom.pad
         base_gx = c0g + G(_G_CWL) - geom.pad
         sS, aS, bS = _cone_fold(
@@ -1068,13 +1115,13 @@ def _conex_body(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid, slab,
             cone, geom, hybrid=hybrid, hwv=hwv,
             pose_rc=lambda f: (fw_i32(f, 86), fw_i32(f, 87)))
         _cone_apply(sS, aS, bS, slab, G(_G_CWL), cfg, geom)
-        cp = pltpu.make_async_copy(
-            slab, vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], sem_w)
-        cp.start()
-        cp.wait()
+        st_ref[0] = 1
+        st_ref[1] = r0g
+        st_ref[2] = c0g
 
     @pl.when(G(_G_FAST) == 0)
     def _():
+        _flush_slab(st_ref, vgrid, slab, sem_w, geom)
         for f in range(F):
             if f > 0:
                 @pl.when(A_(f, _A_DO) != 0)
@@ -1108,6 +1155,7 @@ def _conex_body(ws_ref, fw_ref, hw_ref, grid_ref, out_ref, vgrid, slab,
 
     @pl.when(t == ng - 1)
     def _():
+        _flush_slab(st_ref, vgrid, slab, sem_w, geom)
         cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
         cp.start()
         cp.wait()
@@ -1194,6 +1242,7 @@ def _conex_call(aux, fwords, grids, map_cfg: MapConfig, tof,
         scratch_shapes=[
             pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
             pltpu.VMEM((geom.win_rows, 2 * geom.win_cols), jnp.int8),
+            pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -114,6 +114,45 @@ def main() -> int:
     g2 = pallas_map_track_x(*args, UL_PROFILE)
     record("map_track_x_vs_map_track", _eq(g1, g2))
 
+    # SLAM chunked pass 1 (the TPU-only production path) vs the
+    # sequential scan — run on the backend that actually executes it
+    # (round-2 advisor finding).  Drifted circle poses fire real
+    # matches; an injected flow excursion triggers two recenters so the
+    # per-interval recenter plumbing is exercised through both paths.
+    from micro_quad_slam_tpu.ops.beams import extract_beams
+    from micro_quad_slam_tpu.replay.fusion import fusion_arrays
+    from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.slam.pipeline import (
+        _ekf_track, _map_pass, _map_pass_chunked, _origin_schedule)
+
+    logs = [synth_room_scanlog(n_frames=64, seed=s, path="circle",
+                               noise_mm=6.0, with_flow=True)
+            for s in range(2)]
+    frs = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
+    b4 = {k: np.stack([f[k] for f in frs] * 2) for k in frs[0]}
+    b4["of_rate_x"][3] = b4["of_rate_x"][3] + np.float32(-20.0)
+    bj = {k: jnp.asarray(v) for k, v in b4.items()}
+    kf_every = UL_PROFILE.slam.kf_every
+    beams2, _ = extract_beams(bj["grid_mm"], UL_PROFILE.tof)
+    odo = _ekf_track(bj, UL_PROFILE)
+    sched = _origin_schedule(odo, UL_PROFILE)
+    kf_mask = (jnp.arange(64) % kf_every) == 0
+    n_iv = UL_PROFILE.slam.match_chunk_intervals
+    snap_mask = (jnp.arange(64) % (kf_every * n_iv)) == 0
+    t0 = time.time()
+    g_seq, m_seq = jax.jit(
+        lambda bm, p: _map_pass(bm, p, UL_PROFILE, DEFAULT_GEOM, True,
+                                kf_mask, sched,
+                                snap_mask_t=snap_mask))(beams2, odo)
+    g_chk, m_chk = jax.jit(
+        lambda bm, p: _map_pass_chunked(bm, p, UL_PROFILE, DEFAULT_GEOM,
+                                        kf_every, sched))(beams2, odo)
+    record("slam_chunked_vs_sequential",
+           _eq(g_chk, g_seq) and _eq(m_chk, m_seq),
+           f"({time.time()-t0:.1f}s, "
+           f"recenters={int(np.asarray(sched['do']).sum())})")
+
     rnd = os.environ.get("MQS_ROUND", "0")
     out = f"TPUCHECK_r{int(rnd):02d}.json"
     results["ok"] = bool(ok_all)
