@@ -92,7 +92,12 @@ def _ekf_replay_batched(frames: dict, cfg: PipelineConfig, extra=None):
     # latency-bound by per-iteration loop overhead at small B (51 ms for
     # T=256 at B=128 before unrolling)
     xc0 = None if extra is None else extra[0]
-    (state, _), outs = lax.scan(step, (state0, xc0), seq, unroll=8)
+    # unroll amortizes the per-iteration loop overhead of the tiny
+    # [B, 8, 8] step body; 8 measured best at B=128-1024 (MQS_EKF_UNROLL
+    # for A/B on future hardware)
+    import os
+    _unroll = int(os.environ.get("MQS_EKF_UNROLL", "8"))
+    (state, _), outs = lax.scan(step, (state0, xc0), seq, unroll=_unroll)
     track = {
         "x": jnp.moveaxis(outs["mean"][..., 0], 0, 1),
         "y": jnp.moveaxis(outs["mean"][..., 1], 0, 1),

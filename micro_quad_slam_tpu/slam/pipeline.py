@@ -8,10 +8,13 @@ missing back-end in three passes, all on-device:
   pass 1  (sequential over keyframe chunks): EKF odometry -> pose guess;
           on keyframe ticks, correlative scan-match against the map built
           so far (ops/scanmatch.py) corrects the guess before the fused
-          raycast update.  On TPU each keyframe interval lands on the
-          grid through ONE resident-kernel launch inside a lax.scan over
-          equal-size chunks (constant compile time in T); elsewhere a
-          plain per-frame lax.scan runs the same match/update order.
+          raycast update.  The match map accumulates KEYFRAME scans only
+          by default (SlamConfig.match_map_kf_only — it exists solely to
+          localize against; pass 3 re-rasters every frame).  On TPU each
+          snapshot interval lands on the grid through ONE resident-kernel
+          launch inside a lax.scan over equal-size chunks (constant
+          compile time in T); elsewhere a plain per-frame lax.scan runs
+          the same match/update order.
   pass 2  (parallel): build an SE(2) pose graph per flight — odometry
           edges between consecutive keyframes + match-anchor edges +
           proximity-gated revisit loop edges — and run batched dense
@@ -183,7 +186,7 @@ def _match_kf(grids, beams_kf, x, y, yaw_deg, ox, oy, cfg, geom):
 
 
 def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
-              grid0=None, snap_mask_t=None):
+              grid0=None, snap_mask_t=None, update_mask_t=None):
     """One sequential mapping pass.  poses [B, T, 3] (theta in rad).
     If match=True, keyframe ticks scan-match the pose against the map
     SNAPSHOT (refreshed at snap_mask_t frames — the submap-lag
@@ -191,7 +194,10 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
     keyframe) before updating, and the corrected poses are recorded.
     sched: origin/recenter schedule from _origin_schedule (None = fixed
     origin at the track start, no recentering).  grid0 continues a
-    previous segment's map (mqs slam --resume)."""
+    previous segment's map (mqs slam --resume).  update_mask_t [T] bool:
+    frames whose scan lands on the grid (None = all; SLAM pass 1 passes
+    the keyframe mask when SlamConfig.match_map_kf_only) — recenters
+    still roll the grid on EVERY frame regardless."""
     B, T = poses.shape[:2]
     if grid0 is None:
         grid0 = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
@@ -225,10 +231,17 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
                 lambda a: (a[1], a[2], a[3]),
                 (snap, x, y, yaw_deg))
 
-        grid = jax.vmap(
-            lambda gi, bb, xi, yi, yawi, oxi, oyi: apply_scan_to_grid(
-                gi, bb, xi, yi, yawi, oxi, oyi, True, cfg.map, cfg.tof, geom)
-        )(grid, b, x, y, yaw_deg, ox, oy)
+        def upd(g):
+            return jax.vmap(
+                lambda gi, bb, xi, yi, yawi, oxi, oyi: apply_scan_to_grid(
+                    gi, bb, xi, yi, yawi, oxi, oyi, True, cfg.map,
+                    cfg.tof, geom)
+            )(g, b, x, y, yaw_deg, ox, oy)
+
+        if update_mask_t is None:
+            grid = upd(grid)
+        else:
+            grid = lax.cond(inp["upd"], upd, lambda g: g, grid)
         out = jnp.stack([x, y, jnp.deg2rad(yaw_deg)], axis=-1)
         return (grid, snap), out
 
@@ -243,12 +256,14 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
         "rsy": jnp.moveaxis(sched["rsy"], 0, 1),
         "rsx": jnp.moveaxis(sched["rsx"], 0, 1),
     }
+    if update_mask_t is not None:
+        seq["upd"] = update_mask_t
     (grid, _), corrected = lax.scan(step, (grid0, grid0), seq)
     return grid, jnp.moveaxis(corrected, 0, 1)
 
 
 def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
-                      grid0=None):
+                      grid0=None, _ablate: str = ""):
     """TPU variant of the match=True _map_pass: identical sequence of
     matches and grid updates, but each snapshot interval
     (match_chunk_intervals keyframe intervals) lands on the grid through
@@ -261,7 +276,16 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
     sequential path reads the same state through its snapshot carry —
     bit-equality checked on TPU by tools/check_slam_tpu.py).
     Chunk-start recenters are applied OUTSIDE the kernel (the matches
-    must see the rolled grid); mid-chunk recenters roll in-kernel."""
+    must see the rolled grid); mid-chunk recenters roll in-kernel.
+
+    With SlamConfig.match_map_kf_only (default) the kernel sees ONE
+    slot per KEYFRAME instead of every frame — the pass-1 grid only
+    feeds the matcher (pass 3 re-rasters all frames exactly), so the
+    kf_every-fold kernel-work cut costs only match-map density.  The
+    recenter schedule is composed per keyframe interval (zero-fill
+    rolls compose exactly; recenters after the last keyframe roll once
+    post-scan), keeping bit-equality with the sequential masked pass
+    (tests/test_slam.py::test_slam_chunked_kf_only_matches_sequential)."""
     from micro_quad_slam_tpu.ops.pallas_residentx import pallas_map_chunk_sched
 
     B, T = poses.shape[:2]
@@ -295,12 +319,58 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
         **{k: chunked(v) for k, v in sch.items()},
     }
     kf_offs = np.arange(0, C, kf_every)                   # chunk-local kf
+    n_kf = len(kf_offs)
+
+    kf_only = bool(cfg.slam.match_map_kf_only)
+    if kf_only:
+        # Keyframe-only match map: the kernel sees ONE slot per keyframe
+        # (kf_every-fold less kernel work) with the recenter schedule
+        # COMPOSED over each keyframe interval.  Zero-fill translations
+        # compose exactly — roll(roll(G, s1), s2) == roll(G, s1+s2) —
+        # so the grid state each keyframe's update and match see is
+        # bit-identical to the sequential path rolling every frame
+        # (asserted on TPU by tools/check_slam_tpu.py).  Exactness
+        # caveat: composition is proven only for same-sign shift pairs
+        # (the divergence-driven multi-recenter case); an OPPOSITE-sign
+        # pair inside one kf_every interval could differ near the grid
+        # edge, but needs two ~12.5 m pose jumps in opposite directions
+        # within <1 s — unreachable from recenter_decide's 15 m
+        # threshold under finite poses (NaN jumps are isfinite-gated).
+        # Composed shifts stay < prows: even back-to-back 125-cell
+        # clamped shifts sum to 250 << 608.  Composed window for
+        # keyframe j at frame T_j: frames (T_{j-1}, T_j].
+        K_p = nc * n_kf
+        seg = lambda a: jnp.pad(
+            a[:, 1:], ((0, 0), (0, 1))).reshape(B, K_p, kf_every).sum(-1)
+        comp = {}
+        tail = {}
+        for k in ("rsy", "rsx", "do"):
+            s = seg(sch[k])
+            comp[k] = jnp.concatenate([sch[k][:, :1], s[:, :-1]], axis=1)
+            tail[k] = s[:, -1]                            # after last kf
+        comp["do"] = (comp["do"] != 0).astype(jnp.int32)
+        tail["do"] = (tail["do"] != 0).astype(jnp.int32)
+
+        ksel = lambda a: a[:, ::kf_every]                 # [B, K_p, ...]
+        chunked_k = lambda a: jnp.moveaxis(
+            a.reshape((B, nc, n_kf) + a.shape[2:]), 0, 1)
+        for k in ("rsy", "rsx", "do"):
+            seq[k + "_c"] = chunked_k(comp[k])
+        seq["ox_c"] = chunked_k(ksel(sch["ox"]))
+        seq["oy_c"] = chunked_k(ksel(sch["oy"]))
+        for k in ("do", "rsy", "rsx"):   # only composed slots reach the
+            del seq[k]                   # kernel in kf-only mode
 
     def body(grids, inp):
         # chunk-start recenter outside the kernel, then zero its do flag
-        grids = _recenter_grids(grids, inp["do"][:, 0], inp["rsy"][:, 0],
-                                inp["rsx"][:, 0], cfg, geom)
-        do = inp["do"].at[:, 0].set(0)
+        # (kf-only mode: the composed slot-0 window, which includes the
+        # previous chunk's post-keyframe tail)
+        dk = "do_c" if kf_only else "do"
+        grids = _recenter_grids(grids, inp[dk][:, 0],
+                                inp["rsy_c" if kf_only else "rsy"][:, 0],
+                                inp["rsx_c" if kf_only else "rsx"][:, 0],
+                                cfg, geom)
+        do = inp[dk].at[:, 0].set(0)
 
         # all of this chunk's keyframes match the SAME chunk-start grid
         # — one parallel (vmapped-over-keyframe) matcher batch.  Static
@@ -308,13 +378,18 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
         # traced-index gather and an .at[].set scatter here crashed the
         # XLA TPU fusion emitter (SortedScatterEmitter check failure).
         stacko = lambda a: jnp.stack([a[:, int(o)] for o in kf_offs])
-        mx, my, myaw = jax.vmap(
-            lambda bm, x, y, w, ox_, oy_: _match_kf(
-                grids, bm, x, y, w, ox_, oy_, cfg, geom)
-        )(stacko(inp["beams"]), stacko(inp["pose"][..., 0]),
-          stacko(inp["pose"][..., 1]),
-          jnp.rad2deg(stacko(inp["pose"][..., 2])),
-          stacko(inp["ox"]), stacko(inp["oy"]))           # [n_iv, B]
+        if "nomatch" not in _ablate:
+            mx, my, myaw = jax.vmap(
+                lambda bm, x, y, w, ox_, oy_: _match_kf(
+                    grids, bm, x, y, w, ox_, oy_, cfg, geom)
+            )(stacko(inp["beams"]), stacko(inp["pose"][..., 0]),
+              stacko(inp["pose"][..., 1]),
+              jnp.rad2deg(stacko(inp["pose"][..., 2])),
+              stacko(inp["ox"]), stacko(inp["oy"]))       # [n_iv, B]
+        else:   # profiling ablation (tools/prof_pass1_tpu.py) only
+            mx = stacko(inp["pose"][..., 0])
+            my = stacko(inp["pose"][..., 1])
+            myaw = jnp.rad2deg(stacko(inp["pose"][..., 2]))
         M = np.zeros((len(kf_offs), C), np.float32)
         M[np.arange(len(kf_offs)), kf_offs] = 1.0
         sel = np.zeros((1, C), bool)
@@ -326,12 +401,25 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
         cy_ = jnp.where(sel, place(my), inp["pose"][..., 1])
         cyaw = jnp.where(sel, place(myaw),
                          jnp.rad2deg(inp["pose"][..., 2]))
-        grids = pallas_map_chunk_sched(
-            grids, inp["beams"], cx_, cy_, cyaw, inp["ox"], inp["oy"],
-            do, inp["rsy"], inp["rsx"], cfg, geom)
+        if "nokernel" not in _ablate:
+            if kf_only:
+                grids = pallas_map_chunk_sched(
+                    grids, stacko(inp["beams"]).swapaxes(0, 1), mx.T,
+                    my.T, myaw.T, inp["ox_c"], inp["oy_c"], do,
+                    inp["rsy_c"], inp["rsx_c"], cfg, geom)
+            else:
+                grids = pallas_map_chunk_sched(
+                    grids, inp["beams"], cx_, cy_, cyaw, inp["ox"],
+                    inp["oy"], do, inp["rsy"], inp["rsx"], cfg, geom)
         return grids, jnp.stack([cx_, cy_, jnp.deg2rad(cyaw)], axis=-1)
 
     grids, outs = lax.scan(body, grids, seq)              # outs [nc, B, C, 3]
+    if kf_only:
+        # recenters after the last keyframe (no owning slot): roll them
+        # now so the final grid matches the sequential path, which rolls
+        # on every frame
+        grids = _recenter_grids(grids, tail["do"], tail["rsy"],
+                                tail["rsx"], cfg, geom)
     matched = jnp.moveaxis(outs, 0, 1).reshape(B, nc * C, 3)[:, :T]
     return grids, matched
 
@@ -402,8 +490,10 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
         _, matched = _map_pass_chunked(beams, odo, cfg, geom, kf_every,
                                        sched, grid0=grid0)
     else:
-        _, matched = _map_pass(beams, odo, cfg, geom, True, kf_mask,
-                               sched, grid0=grid0, snap_mask_t=snap_mask)
+        _, matched = _map_pass(
+            beams, odo, cfg, geom, True, kf_mask, sched, grid0=grid0,
+            snap_mask_t=snap_mask,
+            update_mask_t=kf_mask if cfg.slam.match_map_kf_only else None)
     if upto == 1:
         return matched
 

@@ -215,6 +215,16 @@ class SlamConfig:
     # on the TPU-chunked and sequential paths (bit-equality checked on
     # TPU by tools/check_slam_tpu.py).
     match_chunk_intervals: int = 4
+    # Pass 1 builds its match map from KEYFRAME scans only (the classic
+    # keyframe-submap formulation).  The pass-1 grid exists solely to
+    # give the correlative matcher something to match against — the
+    # output map is re-rastered from ALL frames in pass 3 with the exact
+    # reference update semantics — so skipping the 90% of frames between
+    # keyframes costs only match-map density (walls accumulate from
+    # every keyframe; quality gates in tests/test_slam.py hold) and cuts
+    # the pass-1 kernel work ~kf_every-fold.  False restores the
+    # rounds-1-2 all-frames match map.
+    match_map_kf_only: bool = True
     # revisit loop-closure candidates (pass 1b)
     loop_min_gap: int = 3          # candidate must be >= this many kf older
     loop_r_max_m: float = 1.0      # proximity gate on keyframe distance

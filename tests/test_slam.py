@@ -311,3 +311,42 @@ def test_slam_long_excursion_recenters_and_map_survives():
     g_off = np.asarray(logical_grid(res_off.grid))[0]
     assert float(res_off.origin[0][0]) < 1.0   # origin never moved
     assert occ_near_east_wall(g_off, float(res_off.origin[0][0])) == 0
+
+
+def test_slam_chunked_kf_only_matches_sequential():
+    """The TPU chunked pass 1 (keyframe-only match map, recenter
+    schedule COMPOSED per keyframe interval) is bit-equal to the
+    sequential scan with per-frame recenters and a keyframe update
+    mask — zero-fill translations compose exactly, so rolling each
+    frame and rolling the interval sum reach identical grids.  A flow
+    excursion on one flight fires real recenters mid-stream so the
+    composed windows, the chunk-start outside roll, and the post-scan
+    tail roll are all exercised (interpret-mode kernel on CPU; the
+    on-hardware twin is tools/check_all_tpu.py)."""
+    from micro_quad_slam_tpu.ops.beams import extract_beams
+    from micro_quad_slam_tpu.slam.pipeline import (
+        _ekf_track, _map_pass, _map_pass_chunked, _origin_schedule)
+
+    cfg = UL_PROFILE
+    assert cfg.slam.match_map_kf_only
+    T, kf_every = 64, 8
+    logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
+                               noise_mm=6.0, with_flow=True)
+            for s in range(2)]
+    frs = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
+    b4 = {k: np.stack([f[k] for f in frs] * 2) for k in frs[0]}
+    b4["of_rate_x"][3] = b4["of_rate_x"][3] + F32(-20.0)
+    bj = {k: jnp.asarray(v) for k, v in b4.items()}
+    beams, _ = extract_beams(bj["grid_mm"], cfg.tof)
+    odo = _ekf_track(bj, cfg)
+    sched = _origin_schedule(odo, cfg)
+    assert int(np.asarray(sched["do"]).sum()) >= 1  # recenters fired
+    n_iv = cfg.slam.match_chunk_intervals
+    kf_mask = (jnp.arange(T) % kf_every) == 0
+    snap_mask = (jnp.arange(T) % (kf_every * n_iv)) == 0
+    g_seq, m_seq = _map_pass(beams, odo, cfg, GEOM, True, kf_mask, sched,
+                             snap_mask_t=snap_mask, update_mask_t=kf_mask)
+    g_chk, m_chk = _map_pass_chunked(beams, odo, cfg, GEOM, kf_every,
+                                     sched)
+    np.testing.assert_array_equal(np.asarray(g_chk), np.asarray(g_seq))
+    np.testing.assert_array_equal(np.asarray(m_chk), np.asarray(m_seq))

@@ -141,10 +141,11 @@ def main() -> int:
     n_iv = UL_PROFILE.slam.match_chunk_intervals
     snap_mask = (jnp.arange(64) % (kf_every * n_iv)) == 0
     t0 = time.time()
+    upd_mask = kf_mask if UL_PROFILE.slam.match_map_kf_only else None
     g_seq, m_seq = jax.jit(
         lambda bm, p: _map_pass(bm, p, UL_PROFILE, DEFAULT_GEOM, True,
-                                kf_mask, sched,
-                                snap_mask_t=snap_mask))(beams2, odo)
+                                kf_mask, sched, snap_mask_t=snap_mask,
+                                update_mask_t=upd_mask))(beams2, odo)
     g_chk, m_chk = jax.jit(
         lambda bm, p: _map_pass_chunked(bm, p, UL_PROFILE, DEFAULT_GEOM,
                                         kf_every, sched))(beams2, odo)

@@ -62,9 +62,11 @@ def main():
     kf_mask = (jnp.arange(64) % kf_every) == 0
     n_iv = UL_PROFILE.slam.match_chunk_intervals
     snap_mask = (jnp.arange(64) % (kf_every * n_iv)) == 0
+    upd_mask = kf_mask if UL_PROFILE.slam.match_map_kf_only else None
     g_seq, m_seq = jax.jit(
         lambda bm, p: _map_pass(bm, p, UL_PROFILE, GEOM, True, kf_mask,
-                                sched, snap_mask_t=snap_mask))(beams2, odo)
+                                sched, snap_mask_t=snap_mask,
+                                update_mask_t=upd_mask))(beams2, odo)
     g_chk, m_chk = jax.jit(
         lambda bm, p: _map_pass_chunked(bm, p, UL_PROFILE, GEOM, kf_every,
                                         sched))(beams2, odo)
