@@ -547,7 +547,11 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
             win = lax.dot_general(rows * d[None, :], cols,
                                   (((1,), (0,)), ((), ())))
             win = jnp.clip(win, 0, cfg.map.lo_max)
-            return (win, rays["pcy"] + geom.pad - geom.win_r,
+            # int8 carry between the stages: clipped integer log-odds
+            # are int8-exact, and the [B, K, 96, 128] field batch drops
+            # from 163 MB to 41 MB of HBM traffic at B=128, K=26
+            return (win.astype(jnp.int8),
+                    rays["pcy"] + geom.pad - geom.win_r,
                     rays["pcx"] + geom.pad - geom.win_r)
 
         wins, wy0s, wx0s = jax.vmap(raster)(jnp.arange(K))
