@@ -390,6 +390,14 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
             mx = stacko(inp["pose"][..., 0])
             my = stacko(inp["pose"][..., 1])
             myaw = jnp.rad2deg(stacko(inp["pose"][..., 2]))
+        kx, ky, kyaw = mx, my, myaw    # kernel-side poses
+        if "discard" in _ablate:   # ablation: match kept live through
+            # the scan OUTPUT only — the kernel consumes the raw poses,
+            # so the match->kernel serial dependency is cut while the
+            # matcher compute stays in the program
+            kx = stacko(inp["pose"][..., 0])
+            ky = stacko(inp["pose"][..., 1])
+            kyaw = jnp.rad2deg(stacko(inp["pose"][..., 2]))
         M = np.zeros((len(kf_offs), C), np.float32)
         M[np.arange(len(kf_offs)), kf_offs] = 1.0
         sel = np.zeros((1, C), bool)
@@ -404,8 +412,8 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
         if "nokernel" not in _ablate:
             if kf_only:
                 grids = pallas_map_chunk_sched(
-                    grids, stacko(inp["beams"]).swapaxes(0, 1), mx.T,
-                    my.T, myaw.T, inp["ox_c"], inp["oy_c"], do,
+                    grids, stacko(inp["beams"]).swapaxes(0, 1), kx.T,
+                    ky.T, kyaw.T, inp["ox_c"], inp["oy_c"], do,
                     inp["rsy_c"], inp["rsx_c"], cfg, geom)
             else:
                 grids = pallas_map_chunk_sched(

@@ -59,7 +59,7 @@ def main():
             bm, p, cfg, GEOM, cfg.slam.kf_every, sc, _ablate=ablate))
         return lambda: fn(beams, odo, sched)
 
-    for name in ("nomatch nokernel", "nokernel", "nomatch", ""):
+    for name in ("nomatch nokernel", "nokernel", "nomatch", "discard", ""):
         t = bestof(variant(name))
         print(f"{name or 'full':18s}: {(t-floor)*1e3:7.1f} ms", flush=True)
 
