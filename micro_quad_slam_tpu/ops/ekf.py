@@ -32,8 +32,16 @@ Model (per quad, all float32, batched over any leading dims):
 Measurement gating mirrors the reference's flow-quality thresholds
 (quality >= 50, uav_local_nav.c:943): a bad-flow frame gets no velocity
 update (pure dead-reckoning), exactly like EKF3 rejecting a bad flow
-sample.  8x8 matrix algebra stays tiny; batched over B quads it maps to
-batched matmuls XLA handles natively.
+sample.
+
+TPU shape note: F and every H here are so sparse that all covariance
+algebra is EXPANDED into static shifts and rank-1/rank-2 outer products
+instead of batched 8x8 einsums — tiny [B, 8, 8] matmuls fragment XLA's
+fusion clusters inside the replay scan (the scan is latency-bound, not
+FLOP-bound), while the expanded forms fuse into a handful of elementwise
+kernels per step.  The expansion reads P by rows and columns, so
+ekf_step re-symmetrizes P once per step (f32 asymmetry otherwise
+compounds; the circle replay measurably diverged at ~frame 110).
 """
 
 from __future__ import annotations
@@ -70,27 +78,41 @@ def ekf_init(batch: tuple = (), x0=0.0, y0=0.0, pos_var=1e-4,
     return EkfState(mean, cov)
 
 
-def _transition(dt):
-    """F(dt) [..., 8, 8]: x+=vx dt, y+=vy dt, z+=vz dt, yaw+=wz dt."""
-    dt = jnp.asarray(dt, jnp.float32)
-    F = jnp.broadcast_to(jnp.eye(_N, dtype=jnp.float32),
-                         dt.shape + (_N, _N))
-    for pos, vel in ((_IX, _IVX), (_IY, _IVY), (_IZ, _IVZ), (_IYAW, _IWZ)):
-        F = F.at[..., pos, vel].set(dt)
-    return F
-
-
 def ekf_predict(state: EkfState, dt, cfg: EkfConfig = EkfConfig()) -> EkfState:
-    """Constant-velocity / constant-yaw-rate predict, dt-scaled noise."""
+    """Constant-velocity / constant-yaw-rate predict, dt-scaled noise.
+
+    F = I + dt*E with E just the four (pos, vel) couplings, so
+    F P F^T = P + dt*(E P + (E P)^T) + dt^2 * E P E^T evaluates as
+    static row/column shifts and fused elementwise math — no batched
+    8x8 matmuls.  The per-step [B, 8, 8] einsums fragmented XLA fusion
+    clusters inside the replay scan and dominated its cost; the
+    expanded form fuses into the surrounding step body."""
     dt = jnp.asarray(dt, jnp.float32)
-    F = _transition(dt)
-    mean = jnp.einsum("...ij,...j->...i", F, state.mean)
+    mean, P = state.mean, state.cov
+    d = dt[..., None]
+    # mean: pos += vel*dt on the four coupled pairs
+    vel_of = mean[..., (_IVX, _IVY, _IVZ, _IWZ)]
+    mean = mean.at[..., (_IX, _IY, _IZ, _IYAW)].add(vel_of * d)
+
+    # (E P)[i, :] = P[vel(i), :] for coupled rows i, else 0 — a static
+    # row gather.  Build the row map pos<-vel once.
+    rowmap = list(range(_N))
+    for pos, vel in ((_IX, _IVX), (_IY, _IVY), (_IZ, _IVZ), (_IYAW, _IWZ)):
+        rowmap[pos] = vel
+    sel = np.zeros(_N, np.float32)
+    for pos in (_IX, _IY, _IZ, _IYAW):
+        sel[pos] = 1.0
+    selr = jnp.asarray(sel)[:, None]                     # [8, 1]
+    EP = P[..., rowmap, :] * selr                        # [..., 8, 8]
+    EPEt = EP[..., :, rowmap] * selr[:, 0]               # cols likewise
+    dt2 = d[..., None]
+    cov = P + dt2 * (EP + jnp.swapaxes(EP, -1, -2)) + dt2 * dt2 * EPEt
+
     qdiag = [cfg.q_pos, cfg.q_pos, cfg.q_vel, cfg.q_vel,
              cfg.q_pos, cfg.q_vz, cfg.q_yaw, cfg.q_wz]
     q = jnp.stack([jnp.broadcast_to(_F32(v) * dt, dt.shape)
                    for v in qdiag], axis=-1)
-    Q = jnp.einsum("...i,ij->...ij", q, jnp.eye(_N, dtype=jnp.float32))
-    cov = jnp.einsum("...ij,...jk,...lk->...il", F, state.cov, F) + Q
+    cov = cov + q[..., None] * jnp.eye(_N, dtype=jnp.float32)
     return EkfState(mean, cov)
 
 
@@ -107,26 +129,25 @@ def flow_world_velocity(of_rate_x, of_rate_y, ground_m, yaw_rad):
     return jnp.stack([vwx, vwy], axis=-1)
 
 
-def _joseph(cov, K, H, R):
-    """(I - K H) P (I - K H)^T + K R K^T for H [..., m, n]."""
-    eye = jnp.eye(_N, dtype=jnp.float32)
-    IKH = eye - jnp.einsum("...im,...mj->...ij", K, H)
-    KRK = jnp.einsum("...im,...mk,...jk->...ij",
-                     K, R, K)
-    return jnp.einsum("...ij,...jk,...lk->...il", IKH, cov, IKH) + KRK
-
-
 def _update_scalar(state: EkfState, idx: int, innov, valid, r) -> EkfState:
-    """Scalar measurement on state component idx with given innovation."""
+    """Scalar measurement on state component idx with given innovation.
+
+    Joseph form expanded for H = e_idx^T (rank-1):
+      (I - K e^T) P (I - K e^T)^T + r K K^T
+        = P - K (x) P[idx, :] - P[:, idx] (x) K + (P[idx, idx] + r) K (x) K
+    — pure outer products that fuse, instead of three batched 8x8
+    matmuls per update inside the replay scan."""
     mean, cov = state.mean, state.cov
     r = jnp.asarray(r, jnp.float32)
     S = cov[..., idx, idx] + r
     K = cov[..., :, idx] / S[..., None]                       # [..., 8]
     new_mean = mean + K * innov[..., None]
-    H = jnp.zeros(mean.shape[:-1] + (1, _N), jnp.float32)
-    H = H.at[..., 0, idx].set(1.0)
-    R = jnp.broadcast_to(r, mean.shape[:-1])[..., None, None]
-    new_cov = _joseph(cov, K[..., None], H, R)
+    Kc = K[..., :, None]                                      # [..., 8, 1]
+    Kr = K[..., None, :]                                      # [..., 1, 8]
+    prow = cov[..., idx:idx + 1, :]                           # [..., 1, 8]
+    pcol = cov[..., :, idx:idx + 1]                           # [..., 8, 1]
+    new_cov = (cov - Kc * prow - pcol * Kr
+               + S[..., None, None] * (Kc * Kr))
     v = valid[..., None]
     return EkfState(jnp.where(v, new_mean, mean),
                     jnp.where(valid[..., None, None], new_cov, cov))
@@ -163,34 +184,55 @@ def ekf_update_velocity(state: EkfState, z_body, valid, r_vel) -> tuple:
     s = jnp.sin(mean[..., _IYAW])
     vx, vy = mean[..., _IVX], mean[..., _IVY]
 
-    # h(s) and Jacobian rows
+    # h(s); the Jacobian rows H[0] = c e_vx + s e_vy + h0y e_yaw,
+    # H[1] = -s e_vx + c e_vy + h1y e_yaw stay implicit below
     hb = jnp.stack([c * vx + s * vy, -s * vx + c * vy], axis=-1)
-    H = jnp.zeros(mean.shape[:-1] + (2, _N), jnp.float32)
-    H = H.at[..., 0, _IVX].set(c).at[..., 0, _IVY].set(s)
-    H = H.at[..., 1, _IVX].set(-s).at[..., 1, _IVY].set(c)
-    # d/dyaw R(-yaw) v = [-s vx + c vy, -c vx - s vy]
-    H = H.at[..., 0, _IYAW].set(-s * vx + c * vy)
-    H = H.at[..., 1, _IYAW].set(-c * vx - s * vy)
 
     innov_b = z_body - hb
-    PHt = jnp.einsum("...ij,...mj->...im", cov, H)            # [..., 8, 2]
-    S = jnp.einsum("...mi,...ik->...mk", H, PHt) \
-        + r_vel[..., None, None] * jnp.eye(2, dtype=jnp.float32)
-    a = S[..., 0, 0]
-    b = S[..., 0, 1]
-    c2 = S[..., 1, 0]
-    d = S[..., 1, 1]
+    # H's only nonzero columns are (vx, vy, yaw), so every matrix
+    # product below expands into a handful of [..., 8]-vector combos
+    # and rank-1 outer products that fuse — no batched 8x8 matmuls
+    # (same expansion rationale as ekf_predict/_update_scalar).
+    h0y = -s * vx + c * vy
+    h1y = -c * vx - s * vy
+    Pvx = cov[..., :, _IVX]
+    Pvy = cov[..., :, _IVY]
+    Pyw = cov[..., :, _IYAW]
+    un = lambda a_: a_[..., None]
+    PHt0 = un(c) * Pvx + un(s) * Pvy + un(h0y) * Pyw      # [..., 8]
+    PHt1 = un(-s) * Pvx + un(c) * Pvy + un(h1y) * Pyw
+    dotH0 = lambda p: c * p[..., _IVX] + s * p[..., _IVY] \
+        + h0y * p[..., _IYAW]
+    dotH1 = lambda p: -s * p[..., _IVX] + c * p[..., _IVY] \
+        + h1y * p[..., _IYAW]
+    a = dotH0(PHt0) + r_vel
+    b = dotH0(PHt1)
+    c2 = dotH1(PHt0)
+    d = dotH1(PHt1) + r_vel
     det = a * d - b * c2
-    inv = jnp.stack([
-        jnp.stack([d, -b], axis=-1),
-        jnp.stack([-c2, a], axis=-1),
-    ], axis=-2) / det[..., None, None]
-    K = jnp.einsum("...im,...mk->...ik", PHt, inv)            # [..., 8, 2]
+    i00, i01 = d / det, -b / det
+    i10, i11 = -c2 / det, a / det
+    K0 = PHt0 * un(i00) + PHt1 * un(i10)                  # [..., 8]
+    K1 = PHt0 * un(i01) + PHt1 * un(i11)
 
-    new_mean = mean + jnp.einsum("...ij,...j->...i", K, innov_b)
-    R = r_vel[..., None, None] * jnp.eye(2, dtype=jnp.float32)
-    R = jnp.broadcast_to(R, mean.shape[:-1] + (2, 2))
-    new_cov = _joseph(cov, K, H, R)
+    new_mean = mean + K0 * un(innov_b[..., 0]) + K1 * un(innov_b[..., 1])
+
+    # Joseph: (I - M) P (I - M)^T + r (K0 (x) K0 + K1 (x) K1), with
+    # M = K H having nonzero columns only at (vx, vy, yaw)
+    Mvx = un(c) * K0 + un(-s) * K1                        # M[:, vx]
+    Mvy = un(s) * K0 + un(c) * K1
+    Myw = un(h0y) * K0 + un(h1y) * K1
+    row = lambda i: cov[..., i, :]
+    MP = (Mvx[..., :, None] * row(_IVX)[..., None, :]
+          + Mvy[..., :, None] * row(_IVY)[..., None, :]
+          + Myw[..., :, None] * row(_IYAW)[..., None, :])  # [..., 8, 8]
+    MPM = (MP[..., :, _IVX, None] * Mvx[..., None, :]
+           + MP[..., :, _IVY, None] * Mvy[..., None, :]
+           + MP[..., :, _IYAW, None] * Myw[..., None, :])
+    KK = (K0[..., :, None] * K0[..., None, :]
+          + K1[..., :, None] * K1[..., None, :])
+    new_cov = (cov - MP - jnp.swapaxes(MP, -1, -2) + MPM
+               + r_vel[..., None, None] * KK)
 
     v = valid[..., None]
     mean = jnp.where(v, new_mean, mean)
@@ -244,5 +286,10 @@ def ekf_step(
     dt_arr = jnp.asarray(dt, jnp.float32)[..., None]
     corr = _F32(0.5) * (v_new - v_prev) * dt_arr
     mean = state.mean.at[..., _IX:_IY + 1].add(corr)
-    state = EkfState(mean, state.cov)
+    # the rank-1-expanded updates read P by rows AND columns, so f32
+    # asymmetry would otherwise compound across steps (measured: the
+    # circle replay diverged at ~frame 110 without this); one fused
+    # elementwise symmetrization per step pins P symmetric
+    cov = _F32(0.5) * (state.cov + jnp.swapaxes(state.cov, -1, -2))
+    state = EkfState(mean, cov)
     return state, {"flow_used": valid, "innovation": innov}
