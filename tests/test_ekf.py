@@ -233,3 +233,20 @@ def test_fusion_noise_sweep_monotone_budget():
         rmse = pose_rmse(track, frames)
         assert rmse < budget, (f"sigma {sigma}: RMSE {rmse*100:.2f} cm "
                                f"> budget {budget*100:.0f} cm")
+
+
+def test_fusion_covariance_stays_symmetric_and_bounded():
+    """The rank-1-expanded covariance updates (ops/ekf.py) read P by
+    rows and columns, so f32 asymmetry would compound across steps
+    without the per-step symmetrization in ekf_step — the circle replay
+    measurably diverged at ~frame 110 when it was omitted.  Guard: after
+    a long replay P is exactly symmetric (the symmetrization is the last
+    cov op of the step), has positive diagonal, and the track holds."""
+    log = synth_room_scanlog(n_frames=400, path="circle", path_radius_m=1.0,
+                             with_flow=True, seed=11)
+    frames = fusion_arrays(log)
+    state, track = replay_fusion(frames, UL_PROFILE)
+    P = np.asarray(state.cov)
+    np.testing.assert_array_equal(P, np.swapaxes(P, -1, -2))
+    assert (np.diagonal(P, axis1=-2, axis2=-1) > 0).all()
+    assert pose_rmse(track, frames) < 0.01
