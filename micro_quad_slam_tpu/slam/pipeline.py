@@ -210,15 +210,20 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
         snap_mask_t = kf_mask_t
 
     def step(carry, inp):
-        grid, snap = carry
+        grid, snap, sox, soy = carry
         b, pose, kf_due = inp["beams"], inp["pose"], inp["kf"]
         ox, oy = inp["ox"], inp["oy"]
         grid = _recenter_grids(grid, inp["do"], inp["rsy"], inp["rsx"],
                                cfg, geom)
         # refresh the match snapshot AFTER this frame's recenter, BEFORE
         # this frame's update — exactly the chunk-start state of the
-        # chunked path (mid-interval recenters do NOT roll the snapshot)
-        snap = lax.cond(inp["snap"], lambda _: grid, lambda s: s, snap)
+        # chunked path (mid-interval recenters do NOT roll the snapshot).
+        # The snapshot's ORIGIN is captured with it: keyframes after a
+        # mid-interval recenter must look cells up in the frame the
+        # snapshot grid was rolled to, not their own shifted origin.
+        snap, sox, soy = lax.cond(
+            inp["snap"], lambda _: (grid, ox, oy),
+            lambda s: s, (snap, sox, soy))
         x, yw = pose[..., 0], pose[..., 2]
         y = pose[..., 1]
         yaw_deg = jnp.rad2deg(yw)
@@ -226,7 +231,7 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
         if match:
             x, y, yaw_deg = lax.cond(
                 kf_due,
-                lambda a: _match_kf(a[0], b, a[1], a[2], a[3], ox, oy,
+                lambda a: _match_kf(a[0], b, a[1], a[2], a[3], sox, soy,
                                     cfg, geom),
                 lambda a: (a[1], a[2], a[3]),
                 (snap, x, y, yaw_deg))
@@ -243,7 +248,7 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
         else:
             grid = lax.cond(inp["upd"], upd, lambda g: g, grid)
         out = jnp.stack([x, y, jnp.deg2rad(yaw_deg)], axis=-1)
-        return (grid, snap), out
+        return (grid, snap, sox, soy), out
 
     seq = {
         "beams": jnp.moveaxis(beams, 0, 1),
@@ -258,7 +263,8 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
     }
     if update_mask_t is not None:
         seq["upd"] = update_mask_t
-    (grid, _), corrected = lax.scan(step, (grid0, grid0), seq)
+    (grid, _, _, _), corrected = lax.scan(
+        step, (grid0, grid0, sched["ox"][:, 0], sched["oy"][:, 0]), seq)
     return grid, jnp.moveaxis(corrected, 0, 1)
 
 
@@ -378,6 +384,13 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
         # traced-index gather and an .at[].set scatter here crashed the
         # XLA TPU fusion emitter (SortedScatterEmitter check failure).
         stacko = lambda a: jnp.stack([a[:, int(o)] for o in kf_offs])
+        # every slot matches against the chunk-start SNAPSHOT grid, so
+        # lookups use the chunk-start origin — after a mid-chunk
+        # recenter a keyframe's own origin no longer describes the
+        # snapshot's frame (same snapshot-origin capture as _map_pass)
+        ox0 = inp["ox_c" if kf_only else "ox"][:, 0]
+        oy0 = inp["oy_c" if kf_only else "oy"][:, 0]
+        bco = lambda a: jnp.broadcast_to(a, (n_kf,) + a.shape)
         if "nomatch" not in _ablate:
             mx, my, myaw = jax.vmap(
                 lambda bm, x, y, w, ox_, oy_: _match_kf(
@@ -385,7 +398,7 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
             )(stacko(inp["beams"]), stacko(inp["pose"][..., 0]),
               stacko(inp["pose"][..., 1]),
               jnp.rad2deg(stacko(inp["pose"][..., 2])),
-              stacko(inp["ox"]), stacko(inp["oy"]))       # [n_iv, B]
+              bco(ox0), bco(oy0))                         # [n_iv, B]
         else:   # profiling ablation (tools/prof_pass1_tpu.py) only
             mx = stacko(inp["pose"][..., 0])
             my = stacko(inp["pose"][..., 1])
