@@ -268,6 +268,150 @@ def _map_pass(beams, poses, cfg, geom, match: bool, kf_mask_t, sched=None,
     return grid, jnp.moveaxis(corrected, 0, 1)
 
 
+def _compose_kf_sched(sch, B: int, nc: int, kf_every: int, n_kf: int):
+    """Compose the per-frame recenter schedule over keyframe intervals:
+    slot j's composed window covers frames (T_{j-1}, T_j] so rolling once
+    per keyframe slot reaches the same grid as rolling every frame
+    (zero-fill translations compose exactly; same-sign proof in
+    _map_pass_chunked's docstring).  Returns (comp, tail): comp[k]
+    [B, K_p] per-slot composed shifts/flags, tail[k] [B] the post-last-
+    keyframe remainder (rolled once after the scan)."""
+    K_p = nc * n_kf
+    seg = lambda a: jnp.pad(
+        a[:, 1:], ((0, 0), (0, 1))).reshape(B, K_p, kf_every).sum(-1)
+    comp = {}
+    tail = {}
+    for k in ("rsy", "rsx", "do"):
+        s = seg(sch[k])
+        comp[k] = jnp.concatenate([sch[k][:, :1], s[:, :-1]], axis=1)
+        tail[k] = s[:, -1]                                # after last kf
+    comp["do"] = (comp["do"] != 0).astype(jnp.int32)
+    tail["do"] = (tail["do"] != 0).astype(jnp.int32)
+    return comp, tail
+
+
+def _pad_chunk_inputs(beams, poses, sched, B: int, T: int, C: int,
+                      nc: int):
+    """Pad [B, T] chunk-pass inputs to nc*C frames with inert frames:
+    NaN beams make every ray invalid (grid untouched); padded poses are
+    sliced off the output; padded origins reuse the last frame so
+    make_rays stays finite."""
+    padn = nc * C - T
+    pad_t = lambda a, v: jnp.pad(a, ((0, 0), (0, padn)) + ((0, 0),) *
+                                 (a.ndim - 2), constant_values=v)
+    beams_p = pad_t(beams, np.nan)
+    poses_p = pad_t(poses, 0.0)
+    sch = {k: pad_t(v, 0) for k, v in sched.items()}
+    sch["ox"] = pad_t(sched["ox"], 0.0)
+    sch["oy"] = pad_t(sched["oy"], 0.0)
+    if padn:
+        sch["ox"] = sch["ox"].at[:, T:].set(sched["ox"][:, -1:])
+        sch["oy"] = sch["oy"].at[:, T:].set(sched["oy"][:, -1:])
+    return beams_p, poses_p, sch
+
+
+def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
+                   grid0=None, use_kernel: bool | None = None):
+    """Feedback-free pass 1 (SlamConfig.match_feedback=False): the match
+    map accumulates keyframe scans at their raw ODOMETRY poses, so the
+    grid chain never depends on the matcher.  The snapshot grids at each
+    match interval start are produced by a match-free chunk scan — one
+    resident-kernel launch per interval on TPU, the XLA window update
+    elsewhere — and ALL keyframe matches then run as ONE flat batch
+    against their interval-start snapshot.  This removes the
+    match->kernel->match serialization that dominated pass-1 latency on
+    TPU (tools/prof_pass1_tpu.py: matcher compute 3.7 ms, pass-1 ~64 ms).
+    Matching semantics per keyframe (snapshot state, snapshot origin,
+    lattice, quality gate) are identical to the feedback path except that
+    earlier keyframes' corrections never moved the map's scans.
+    use_kernel: None = backend default (kernel on TPU); tests force both
+    ways for bit-equality.  Requires match_map_kf_only (caller asserts).
+    Returns (final grids, matched poses [B, T, 3])."""
+    from micro_quad_slam_tpu.ops.pallas_residentx import (
+        pallas_map_chunk_sched)
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    B, T = poses.shape[:2]
+    grids = (jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+             if grid0 is None else grid0)
+    n_iv = max(int(cfg.slam.match_chunk_intervals), 1)
+    C = kf_every * n_iv
+    nc = -(-T // C)
+    beams_p, poses_p, sch = _pad_chunk_inputs(beams, poses, sched, B, T,
+                                              C, nc)
+    kf_offs = np.arange(0, C, kf_every)
+    n_kf = len(kf_offs)
+    K_p = nc * n_kf
+    comp, tail = _compose_kf_sched(sch, B, nc, kf_every, n_kf)
+
+    ksel = lambda a: a[:, ::kf_every]                     # [B, K_p, ...]
+    chunked_k = lambda a: jnp.moveaxis(
+        a.reshape((B, nc, n_kf) + a.shape[2:]), 0, 1)     # [nc, B, n_kf]
+    seq = {
+        "beams": chunked_k(ksel(beams_p)),
+        "pose": chunked_k(ksel(poses_p)),
+        "ox": chunked_k(ksel(sch["ox"])),
+        "oy": chunked_k(ksel(sch["oy"])),
+        **{k: chunked_k(comp[k]) for k in ("do", "rsy", "rsx")},
+    }
+
+    def body(grids, inp):
+        # chunk-start recenter outside the update (the snapshot the
+        # matches see is the ROLLED grid), then zero its do flag
+        grids = _recenter_grids(grids, inp["do"][:, 0], inp["rsy"][:, 0],
+                                inp["rsx"][:, 0], cfg, geom)
+        snap = grids
+        do = inp["do"].at[:, 0].set(0)
+        x, y = inp["pose"][..., 0], inp["pose"][..., 1]
+        yaw_deg = jnp.rad2deg(inp["pose"][..., 2])
+        if use_kernel:
+            grids = pallas_map_chunk_sched(
+                grids, inp["beams"], x, y, yaw_deg, inp["ox"], inp["oy"],
+                do, inp["rsy"], inp["rsx"], cfg, geom)
+        else:
+            for s in range(n_kf):
+                if s:   # slot-0 recenter already applied above
+                    grids = _recenter_grids(grids, do[:, s],
+                                            inp["rsy"][:, s],
+                                            inp["rsx"][:, s], cfg, geom)
+                grids = jax.vmap(
+                    lambda gi, bb, xi, yi, yawi, oxi, oyi:
+                    apply_scan_to_grid(gi, bb, xi, yi, yawi, oxi, oyi,
+                                       True, cfg.map, cfg.tof, geom)
+                )(grids, inp["beams"][:, s], x[:, s], y[:, s],
+                  yaw_deg[:, s], inp["ox"][:, s], inp["oy"][:, s])
+        return grids, (snap, inp["ox"][:, 0], inp["oy"][:, 0])
+
+    grids, (snaps, sox, soy) = lax.scan(body, grids, seq)
+    grids = _recenter_grids(grids, tail["do"], tail["rsy"], tail["rsx"],
+                            cfg, geom)
+
+    # ALL keyframe matches in one flat (vmapped over interval x slot)
+    # batch against the interval-start snapshots — nothing downstream of
+    # a match feeds a grid, so the whole batch runs in parallel
+    def match_chunk(snap_c, beams_c, pose_c, sox_c, soy_c):
+        return jax.vmap(
+            lambda bm, xk, yk, wk: _match_kf(snap_c, bm, xk, yk, wk,
+                                             sox_c, soy_c, cfg, geom),
+            in_axes=(1, 1, 1, 1), out_axes=1,
+        )(beams_c, pose_c[..., 0], pose_c[..., 1],
+          jnp.rad2deg(pose_c[..., 2]))
+
+    mx, my, myaw = jax.vmap(match_chunk)(snaps, seq["beams"], seq["pose"],
+                                         sox, soy)       # [nc, B, n_kf]
+    tb = lambda a: jnp.moveaxis(a, 0, 1).reshape(B, K_p)
+    # place the corrections at the keyframe slots through a static
+    # reshape (slot stride is kf_every in the padded domain) — basic
+    # indexing only, no scatter
+    mr = poses_p.reshape(B, K_p, kf_every, 3)
+    mr = mr.at[:, :, 0, 0].set(tb(mx))
+    mr = mr.at[:, :, 0, 1].set(tb(my))
+    mr = mr.at[:, :, 0, 2].set(jnp.deg2rad(tb(myaw)))
+    matched = mr.reshape(B, nc * C, 3)[:, :T]
+    return grids, matched
+
+
 def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
                       grid0=None, _ablate: str = ""):
     """TPU variant of the match=True _map_pass: identical sequence of
@@ -300,22 +444,11 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
     n_iv = max(int(cfg.slam.match_chunk_intervals), 1)
     C = kf_every * n_iv
     nc = -(-T // C)
-    padn = nc * C - T
-    # pad with inert frames: NaN beams make every ray invalid, so the
-    # kernel leaves the grid untouched and the padded poses are sliced
-    # off the output (a pad-frame match scores 0 -> quality 0 -> the
-    # gate rejects it, identical to the sequential path's pad behavior)
-    pad_t = lambda a, v: jnp.pad(a, ((0, 0), (0, padn)) + ((0, 0),) *
-                                 (a.ndim - 2), constant_values=v)
-    beams_p = pad_t(beams, np.nan)
-    poses_p = pad_t(poses, 0.0)
-    sch = {k: pad_t(v, 0) for k, v in sched.items()}
-    # padded origins must stay finite for make_rays; reuse the last frame
-    sch["ox"] = pad_t(sched["ox"], 0.0)
-    sch["oy"] = pad_t(sched["oy"], 0.0)
-    if padn:
-        sch["ox"] = sch["ox"].at[:, T:].set(sched["ox"][:, -1:])
-        sch["oy"] = sch["oy"].at[:, T:].set(sched["oy"][:, -1:])
+    # pad with inert frames (a pad-frame match scores 0 -> quality 0 ->
+    # the gate rejects it, identical to the sequential path's pad
+    # behavior)
+    beams_p, poses_p, sch = _pad_chunk_inputs(beams, poses, sched, B, T,
+                                              C, nc)
 
     chunked = lambda a: jnp.moveaxis(
         a.reshape((B, nc, C) + a.shape[2:]), 0, 1)        # [nc, B, C, ...]
@@ -345,17 +478,7 @@ def _map_pass_chunked(beams, poses, cfg, geom, kf_every: int, sched,
         # Composed shifts stay < prows: even back-to-back 125-cell
         # clamped shifts sum to 250 << 608.  Composed window for
         # keyframe j at frame T_j: frames (T_{j-1}, T_j].
-        K_p = nc * n_kf
-        seg = lambda a: jnp.pad(
-            a[:, 1:], ((0, 0), (0, 1))).reshape(B, K_p, kf_every).sum(-1)
-        comp = {}
-        tail = {}
-        for k in ("rsy", "rsx", "do"):
-            s = seg(sch[k])
-            comp[k] = jnp.concatenate([sch[k][:, :1], s[:, :-1]], axis=1)
-            tail[k] = s[:, -1]                            # after last kf
-        comp["do"] = (comp["do"] != 0).astype(jnp.int32)
-        tail["do"] = (tail["do"] != 0).astype(jnp.int32)
+        comp, tail = _compose_kf_sched(sch, B, nc, kf_every, n_kf)
 
         ksel = lambda a: a[:, ::kf_every]                 # [B, K_p, ...]
         chunked_k = lambda a: jnp.moveaxis(
@@ -503,11 +626,16 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     if upto == 0:
         return odo, sched
 
-    # pass 1: scan-matched mapping — keyframe-chunked resident-kernel
-    # launches on TPU, the sequential scan elsewhere (same match/update
-    # order either way; the chunk update is the bit-exact residentx
-    # map-track kernel)
-    if jax.default_backend() == "tpu":
+    # pass 1: scan-matched mapping.  Default (feedback-free keyframe
+    # match map): a match-free chunk scan builds the snapshot grids —
+    # resident-kernel launches on TPU, XLA window updates elsewhere —
+    # then every keyframe matches in one flat batch (_map_pass_nofb).
+    # The feedback formulation (match corrections land on the match map)
+    # keeps the keyframe-chunked TPU path / sequential scan pair.
+    if cfg.slam.match_map_kf_only and not cfg.slam.match_feedback:
+        _, matched = _map_pass_nofb(beams, odo, cfg, geom, kf_every,
+                                    sched, grid0=grid0)
+    elif jax.default_backend() == "tpu":
         _, matched = _map_pass_chunked(beams, odo, cfg, geom, kf_every,
                                        sched, grid0=grid0)
     else:

@@ -225,6 +225,18 @@ class SlamConfig:
     # the pass-1 kernel work ~kf_every-fold.  False restores the
     # rounds-1-2 all-frames match map.
     match_map_kf_only: bool = True
+    # Pass 1's match map accumulates keyframe scans at their MATCHED
+    # poses (True: the rounds-1-3 feedback formulation — each keyframe's
+    # correction lands on the grid later keyframes match against) or at
+    # their raw ODOMETRY poses (False: feedback-free).  Feedback-free
+    # cuts the match->kernel->match serial chain that dominated pass-1
+    # latency on TPU (tools/prof_pass1_tpu.py): the snapshot grids are
+    # producible by a kernel-only chunk scan and ALL keyframe matches
+    # then run as one flat batch.  Only meaningful with
+    # match_map_kf_only; accuracy A/B lives in tests/test_slam.py
+    # (the corrections stay anchored by pass 2's graph, so the fig-8 /
+    # drift suites hold the same error bounds either way).
+    match_feedback: bool = False
     # revisit loop-closure candidates (pass 1b)
     loop_min_gap: int = 3          # candidate must be >= this many kf older
     loop_r_max_m: float = 1.0      # proximity gate on keyframe distance

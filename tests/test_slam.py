@@ -350,3 +350,72 @@ def test_slam_chunked_kf_only_matches_sequential():
                                      sched)
     np.testing.assert_array_equal(np.asarray(g_chk), np.asarray(g_seq))
     np.testing.assert_array_equal(np.asarray(m_chk), np.asarray(m_seq))
+
+
+def test_slam_nofb_kernel_matches_xla():
+    """The feedback-free pass 1 (_map_pass_nofb — the default since
+    SlamConfig.match_feedback=False) must produce identical grids and
+    matched poses whether the snapshot chunk scan runs through the
+    resident kernel (interpret-mode pallas on CPU; the on-hardware twin
+    is tools/check_all_tpu.py) or the XLA window updates.  The same
+    flow-excursion flight as the chunked-parity test fires real
+    recenters so the composed slot windows, the outside chunk-start
+    roll, and the post-scan tail roll are all exercised."""
+    import dataclasses
+
+    from micro_quad_slam_tpu.ops.beams import extract_beams
+    from micro_quad_slam_tpu.slam.pipeline import (
+        _ekf_track, _map_pass_nofb, _origin_schedule)
+
+    # lowered accept gate: chunk-1 keyframes match a non-empty snapshot
+    # with small positive quality, so LIVE corrections deterministically
+    # flow through the placement path on both sides of the parity check
+    # (the production gate can reject every match on this short flight,
+    # which would leave the matched==odo identity untested)
+    cfg = UL_PROFILE.replace(
+        slam=dataclasses.replace(UL_PROFILE.slam, match_min_quality=0.05))
+    assert cfg.slam.match_map_kf_only and not cfg.slam.match_feedback
+    T, kf_every = 64, 8
+    logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
+                               noise_mm=6.0, with_flow=True)
+            for s in range(2)]
+    frs = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
+    b4 = {k: np.stack([f[k] for f in frs] * 2) for k in frs[0]}
+    b4["of_rate_x"][3] = b4["of_rate_x"][3] + F32(-20.0)
+    bj = {k: jnp.asarray(v) for k, v in b4.items()}
+    beams, _ = extract_beams(bj["grid_mm"], cfg.tof)
+    odo = _ekf_track(bj, cfg)
+    sched = _origin_schedule(odo, cfg)
+    assert int(np.asarray(sched["do"]).sum()) >= 1  # recenters fired
+    g_x, m_x = _map_pass_nofb(beams, odo, cfg, GEOM, kf_every, sched,
+                              use_kernel=False)
+    g_k, m_k = _map_pass_nofb(beams, odo, cfg, GEOM, kf_every, sched,
+                              use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(g_k), np.asarray(g_x))
+    np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_x))
+    # real corrections fired (matched poses differ from raw odometry at
+    # some keyframe), so the parity above covers live matches
+    assert not np.array_equal(np.asarray(m_x), np.asarray(odo))
+
+
+def test_slam_feedback_ab_holds_accuracy():
+    """Accuracy A/B for SlamConfig.match_feedback: the FEEDBACK
+    formulation (each keyframe's correction lands on the grid later
+    keyframes match against — the rounds-1-3 default) must hold the
+    same drift-reduction bound as the feedback-free default on the
+    drifty scenario; pass 2's pose graph anchors the corrections either
+    way.  Keeps the feedback code paths accuracy-covered now that the
+    pipeline default no longer exercises them."""
+    import dataclasses
+
+    frames, log = _drifty_frames()
+    cfg_fb = UL_PROFILE.replace(
+        slam=dataclasses.replace(UL_PROFILE.slam, match_feedback=True))
+    truth = np.stack([log.x_m, log.y_m], -1)
+    for cfg in (UL_PROFILE, cfg_fb):
+        res = slam_replay(frames, cfg, GEOM, 10, 8)
+        odo_err = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - truth).T)
+        slam_err = np.hypot(*(np.asarray(res.track)[0, :, :2] - truth).T)
+        assert slam_err[-20:].mean() < odo_err[-20:].mean() * 0.7, (
+            cfg.slam.match_feedback,
+            odo_err[-20:].mean(), slam_err[-20:].mean())

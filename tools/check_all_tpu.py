@@ -154,6 +154,21 @@ def main() -> int:
            f"({time.time()-t0:.1f}s, "
            f"recenters={int(np.asarray(sched['do']).sum())})")
 
+    # feedback-free pass 1 (the pipeline default since round 3): the
+    # resident-kernel snapshot scan vs the XLA window updates, on the
+    # hardware that runs the kernel path
+    from micro_quad_slam_tpu.slam.pipeline import _map_pass_nofb
+    t0 = time.time()
+    g_nk, m_nk = jax.jit(lambda bm, p: _map_pass_nofb(
+        bm, p, UL_PROFILE, DEFAULT_GEOM, kf_every, sched,
+        use_kernel=True))(beams2, odo)
+    g_nx, m_nx = jax.jit(lambda bm, p: _map_pass_nofb(
+        bm, p, UL_PROFILE, DEFAULT_GEOM, kf_every, sched,
+        use_kernel=False))(beams2, odo)
+    record("slam_nofb_kernel_vs_xla",
+           _eq(g_nk, g_nx) and _eq(m_nk, m_nx),
+           f"({time.time()-t0:.1f}s)")
+
     rnd = os.environ.get("MQS_ROUND", "0")
     out = f"TPUCHECK_r{int(rnd):02d}.json"
     results["ok"] = bool(ok_all)
