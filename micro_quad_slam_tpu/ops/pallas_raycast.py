@@ -181,9 +181,9 @@ def pallas_apply_scans(
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(padded_grids.shape, jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((geom.win_rows + _AWR_PAD, _AWC), jnp.int8),
@@ -285,9 +285,9 @@ def pallas_apply_scans_db(
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda b, org: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, geom.win_rows + _AWR_PAD, _AWC), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
