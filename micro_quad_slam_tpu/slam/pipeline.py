@@ -312,18 +312,24 @@ def _pad_chunk_inputs(beams, poses, sched, B: int, T: int, C: int,
 
 def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
                    grid0=None, use_kernel: bool | None = None):
-    """Feedback-free pass 1 (SlamConfig.match_feedback=False): the match
-    map accumulates keyframe scans at their raw ODOMETRY poses, so the
-    grid chain never depends on the matcher.  The snapshot grids at each
-    match interval start are produced by a match-free chunk scan — one
+    """Feedback-free pass 1 (SlamConfig.match_feedback=False): within an
+    iteration the match map accumulates keyframe scans at FIXED pose
+    estimates (iteration 1: raw odometry; iteration i>1: the previous
+    iteration's matched poses), so the grid chain never depends on the
+    matcher inside the iteration.  The snapshot grids at each match
+    interval start are produced by a match-free chunk scan — one
     resident-kernel launch per interval on TPU, the XLA window update
     elsewhere — and ALL keyframe matches then run as ONE flat batch
     against their interval-start snapshot.  This removes the
     match->kernel->match serialization that dominated pass-1 latency on
     TPU (tools/prof_pass1_tpu.py: matcher compute 3.7 ms, pass-1 ~64 ms).
-    Matching semantics per keyframe (snapshot state, snapshot origin,
-    lattice, quality gate) are identical to the feedback path except that
-    earlier keyframes' corrections never moved the map's scans.
+    SlamConfig.match_iters repetitions of (rebuild map at current
+    estimates -> flat re-match) recover the accuracy the feedback
+    formulation got from correcting the map as it grew — the iteration
+    approximates that fixed point while staying fully parallel within
+    each round (fig-8 A/B in tests/test_slam.py).  Matching semantics
+    per keyframe (snapshot state, snapshot origin, lattice, quality
+    gate) are identical to the feedback path.
     use_kernel: None = backend default (kernel on TPU); tests force both
     ways for bit-equality.  Requires match_map_kf_only (caller asserts).
     Returns (final grids, matched poses [B, T, 3])."""
@@ -333,13 +339,16 @@ def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     B, T = poses.shape[:2]
-    grids = (jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
-             if grid0 is None else grid0)
+    grids0 = (jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
+              if grid0 is None else grid0)
     n_iv = max(int(cfg.slam.match_chunk_intervals), 1)
     C = kf_every * n_iv
     nc = -(-T // C)
-    beams_p, poses_p, sch = _pad_chunk_inputs(beams, poses, sched, B, T,
-                                              C, nc)
+    # schedule/beams padding is pose-independent; poses re-pad per
+    # iteration (the estimates move, the recenter schedule does not —
+    # origins follow the raw odometry exactly as the reference's grid
+    # origin follows its dead-reckoned pose)
+    beams_p, _, sch = _pad_chunk_inputs(beams, poses, sched, B, T, C, nc)
     kf_offs = np.arange(0, C, kf_every)
     n_kf = len(kf_offs)
     K_p = nc * n_kf
@@ -348,9 +357,8 @@ def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
     ksel = lambda a: a[:, ::kf_every]                     # [B, K_p, ...]
     chunked_k = lambda a: jnp.moveaxis(
         a.reshape((B, nc, n_kf) + a.shape[2:]), 0, 1)     # [nc, B, n_kf]
-    seq = {
+    seq_fix = {
         "beams": chunked_k(ksel(beams_p)),
-        "pose": chunked_k(ksel(poses_p)),
         "ox": chunked_k(ksel(sch["ox"])),
         "oy": chunked_k(ksel(sch["oy"])),
         **{k: chunked_k(comp[k]) for k in ("do", "rsy", "rsx")},
@@ -383,10 +391,6 @@ def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
                   yaw_deg[:, s], inp["ox"][:, s], inp["oy"][:, s])
         return grids, (snap, inp["ox"][:, 0], inp["oy"][:, 0])
 
-    grids, (snaps, sox, soy) = lax.scan(body, grids, seq)
-    grids = _recenter_grids(grids, tail["do"], tail["rsy"], tail["rsx"],
-                            cfg, geom)
-
     # ALL keyframe matches in one flat (vmapped over interval x slot)
     # batch against the interval-start snapshots — nothing downstream of
     # a match feeds a grid, so the whole batch runs in parallel
@@ -398,17 +402,29 @@ def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
         )(beams_c, pose_c[..., 0], pose_c[..., 1],
           jnp.rad2deg(pose_c[..., 2]))
 
-    mx, my, myaw = jax.vmap(match_chunk)(snaps, seq["beams"], seq["pose"],
-                                         sox, soy)       # [nc, B, n_kf]
     tb = lambda a: jnp.moveaxis(a, 0, 1).reshape(B, K_p)
-    # place the corrections at the keyframe slots through a static
-    # reshape (slot stride is kf_every in the padded domain) — basic
-    # indexing only, no scatter
-    mr = poses_p.reshape(B, K_p, kf_every, 3)
-    mr = mr.at[:, :, 0, 0].set(tb(mx))
-    mr = mr.at[:, :, 0, 1].set(tb(my))
-    mr = mr.at[:, :, 0, 2].set(jnp.deg2rad(tb(myaw)))
-    matched = mr.reshape(B, nc * C, 3)[:, :T]
+
+    def one_round(est):
+        """One (map chunk scan at `est` -> flat match batch) round."""
+        _, poses_p, _ = _pad_chunk_inputs(beams, est, sched, B, T, C, nc)
+        seq = dict(seq_fix, pose=chunked_k(ksel(poses_p)))
+        grids, (snaps, sox, soy) = lax.scan(body, grids0, seq)
+        grids = _recenter_grids(grids, tail["do"], tail["rsy"],
+                                tail["rsx"], cfg, geom)
+        mx, my, myaw = jax.vmap(match_chunk)(
+            snaps, seq_fix["beams"], seq["pose"], sox, soy)  # [nc, B, n_kf]
+        # place the corrections at the keyframe slots through a static
+        # reshape (slot stride is kf_every in the padded domain) — basic
+        # indexing only, no scatter
+        mr = poses_p.reshape(B, K_p, kf_every, 3)
+        mr = mr.at[:, :, 0, 0].set(tb(mx))
+        mr = mr.at[:, :, 0, 1].set(tb(my))
+        mr = mr.at[:, :, 0, 2].set(jnp.deg2rad(tb(myaw)))
+        return grids, mr.reshape(B, nc * C, 3)[:, :T]
+
+    matched = poses
+    for _ in range(max(int(cfg.slam.match_iters), 1)):
+        grids, matched = one_round(matched)
     return grids, matched
 
 

@@ -237,6 +237,13 @@ class SlamConfig:
     # (the corrections stay anchored by pass 2's graph, so the fig-8 /
     # drift suites hold the same error bounds either way).
     match_feedback: bool = False
+    # Feedback-free pass-1 rounds of (rebuild the keyframe match map at
+    # the current pose estimates -> flat re-match).  Round 1 maps at raw
+    # odometry; round i>1 maps at round i-1's matched poses, recovering
+    # the accuracy the feedback formulation got from correcting the map
+    # as it grew (fig-8 A/B in tests/test_slam.py) while every round
+    # stays fully parallel.  Ignored when match_feedback=True.
+    match_iters: int = 2
     # revisit loop-closure candidates (pass 1b)
     loop_min_gap: int = 3          # candidate must be >= this many kf older
     loop_r_max_m: float = 1.0      # proximity gate on keyframe distance
