@@ -151,6 +151,40 @@ def cmd_fusion(args) -> int:
     return 0
 
 
+def _override_slam(slam_cfg, pairs):
+    """Apply repeatable --slam-set key=value overrides to a SlamConfig,
+    coercing each value to the field's declared type (bool accepts
+    true/false/1/0)."""
+    import dataclasses
+
+    fields = {f.name: f.type for f in dataclasses.fields(slam_cfg)}
+    upd = {}
+    for pair in pairs:
+        key, _, val = pair.partition("=")
+        if key not in fields or not _:
+            valid = ", ".join(sorted(fields))
+            raise SystemExit(
+                f"--slam-set {pair!r}: expected key=value with key one of "
+                f"{valid}")
+        cur = getattr(slam_cfg, key)
+        if isinstance(cur, bool):
+            if val.lower() not in ("true", "false", "1", "0"):
+                raise SystemExit(f"--slam-set {key}: boolean, got {val!r}")
+            upd[key] = val.lower() in ("true", "1")
+        elif isinstance(cur, int):
+            upd[key] = int(val)
+        elif isinstance(cur, tuple):    # edge weights: x,y,yaw triple
+            parts = tuple(float(v) for v in val.split(","))
+            if len(parts) != len(cur):
+                raise SystemExit(
+                    f"--slam-set {key}: expected {len(cur)} "
+                    f"comma-separated floats, got {val!r}")
+            upd[key] = parts
+        else:
+            upd[key] = float(val)
+    return dataclasses.replace(slam_cfg, **upd)
+
+
 def cmd_slam(args) -> int:
     from micro_quad_slam_tpu.ops import logical_grid
     from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM
@@ -185,7 +219,10 @@ def cmd_slam(args) -> int:
         path = latest_checkpoint(args.resume) or args.resume
         state0 = restore_checkpoint(path, like=like)
         print(f"resuming SLAM map from {path}")
-    res = slam_replay(frames, _profile(args.profile), DEFAULT_GEOM,
+    cfg = _profile(args.profile)
+    if args.slam_set:
+        cfg = cfg.replace(slam=_override_slam(cfg.slam, args.slam_set))
+    res = slam_replay(frames, cfg, DEFAULT_GEOM,
                       args.kf_every, args.gn_iters, state0)
     if args.save_state:
         from micro_quad_slam_tpu.utils.checkpoint import save_checkpoint
@@ -374,6 +411,11 @@ def main(argv=None) -> int:
     ps.add_argument("--profile", default="ul", choices=("ul", "cl"))
     ps.add_argument("--kf-every", type=int, default=10)
     ps.add_argument("--gn-iters", type=int, default=8)
+    ps.add_argument("--slam-set", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="override any SlamConfig field (repeatable), "
+                         "e.g. --slam-set match_feedback=true "
+                         "--slam-set match_iters=3")
     ps.add_argument("--ascii", action="store_true")
     ps.add_argument("--save-state", help="checkpoint the corrected map + "
                                          "origins (continue a later "
