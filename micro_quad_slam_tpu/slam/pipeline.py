@@ -682,8 +682,6 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
         iidx = jnp.arange(K)
         gap_ok = (iidx[None, :] - iidx[:, None]) >= s.loop_min_gap
         cand = jnp.where(gap_ok, d2, jnp.inf)
-        i_best = jnp.argmin(cand, axis=0)               # [K] per j
-        near = cand[i_best, iidx] < _F32(s.loop_r_max_m) ** 2
 
         # stage A: raster every keyframe's scan into its own [96, 128]
         # LOCAL window, once.  The field is ENDPOINT-ONLY (the classic
@@ -736,12 +734,25 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
             pj_corr = jnp.stack([res.x, res.y,
                                  jnp.deg2rad(res.yaw_deg)])
             z = se2_relative(pi, pj_corr)
-            return z, ok & (res.quality > _F32(s.match_min_quality))
+            return z, ok & (res.quality > _F32(s.loop_min_quality))
 
-        z, ok = jax.vmap(measure)(i_best, iidx, near)
-        ij = jnp.stack([i_best.astype(jnp.int32), iidx.astype(jnp.int32)],
-                       axis=-1)
-        return ij, z, ok
+        # SlamConfig.loop_edges nearest older candidates per keyframe
+        # (default 1).  Edge e+1 takes the next-nearest candidate under
+        # the same gap/radius/quality gates — denser constraints for
+        # flights that revisit a place more than once.
+        ijs, zs, oks = [], [], []
+        for _ in range(max(int(s.loop_edges), 1)):
+            i_best = jnp.argmin(cand, axis=0)               # [K] per j
+            near = cand[i_best, iidx] < _F32(s.loop_r_max_m) ** 2
+            z, ok = jax.vmap(measure)(i_best, iidx, near)
+            ijs.append(jnp.stack([i_best.astype(jnp.int32),
+                                  iidx.astype(jnp.int32)], axis=-1))
+            zs.append(z)
+            oks.append(ok)
+            cand = jnp.where(jnp.arange(K)[:, None] == i_best[None, :],
+                             jnp.inf, cand)
+        return (jnp.concatenate(ijs), jnp.concatenate(zs),
+                jnp.concatenate(oks))
 
     loop_ij, loop_z, loop_ok = jax.vmap(loop_edges)(matched, kf_beams,
                                                     kf_ox, kf_oy)

@@ -217,6 +217,53 @@ def test_slam_fig8_loop_closure_fires_and_corrects():
     assert iou_slam > iou_odo, (iou_slam, iou_odo)
     assert iou_slam >= 0.8, iou_slam
 
+    # the loop edges must actually FIRE: the revisit candidates' match
+    # quality against single-keyframe endpoint fields runs ~0.8-2.0, and
+    # round 3 found the shared 3.0 gate had silently rejected every one
+    # (SLAM still "corrected" through pass-1 matching alone) — guard the
+    # dedicated loop_min_quality gate against recalibration drift
+    from micro_quad_slam_tpu.slam.pipeline import _slam_impl
+    _, _, _, lok = _slam_impl(frames, UL_PROFILE, GEOM, 10, 8, upto=2)
+    assert int(np.asarray(lok).sum()) >= 1, "no loop edge accepted"
+
+
+def test_slam_fig8_high_drift_not_worse_than_odometry():
+    """At ~12% flow-scale drift the pass-1 match map is itself
+    drift-distorted and matching alone OVERCORRECTS (measured: 13.5 cm
+    tail err vs 11.4 cm raw odometry with loop edges gated off) — the
+    accepted loop edges must keep the solved track at least as good as
+    odometry and the map strictly better."""
+    from micro_quad_slam_tpu.utils.obs import map_iou_vs_walls
+
+    room = (-2.5, -2.5, 2.5, 2.5)
+    log = synth_room_scanlog(n_frames=160, path="fig8", path_radius_m=1.4,
+                             room=room, with_flow=True, seed=5)
+    log.of_rate_x[:] *= 1.12
+    log.of_rate_y[:] *= 1.12
+    f = {**scanlog_to_arrays(log), **fusion_arrays(log)}
+    frames = {k: v[None] for k, v in f.items()}
+    res = slam_replay(frames, UL_PROFILE, GEOM, 10, 8)
+
+    truth = np.stack([log.x_m, log.y_m], -1)
+    odo_err = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - truth).T)
+    slam_err = np.hypot(*(np.asarray(res.track)[0, :, :2] - truth).T)
+    assert slam_err[-20:].mean() <= odo_err[-20:].mean() * 1.02, (
+        odo_err[-20:].mean(), slam_err[-20:].mean())
+
+    from micro_quad_slam_tpu.slam.pipeline import _map_pass
+    from micro_quad_slam_tpu.ops.beams import extract_beams
+    beams, _ = extract_beams(frames["grid_mm"], UL_PROFILE.tof)
+    kf_mask = (np.arange(frames["x_m"].shape[1]) % 10) == 0
+    odo = np.asarray(res.odo_track)
+    odo_grid, _ = _map_pass(beams, odo, UL_PROFILE, GEOM, False, kf_mask)
+    g_slam = np.asarray(logical_grid(res.grid))[0]
+    g_odo = np.asarray(logical_grid(odo_grid))[0]
+    iou_slam = map_iou_vs_walls(g_slam, float(res.origin[0][0]),
+                                float(res.origin[1][0]), room)
+    iou_odo = map_iou_vs_walls(g_odo, float(odo[:, 0, 0][0]),
+                               float(odo[:, 0, 1][0]), room)
+    assert iou_slam > iou_odo, (iou_slam, iou_odo)
+
 
 def test_slam_odo_track_equals_fusion_track():
     """The SLAM odometry track IS the fusion replay track, bit-for-bit —
