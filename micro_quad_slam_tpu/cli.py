@@ -1,9 +1,11 @@
 """mqs — command line interface.
 
-  mqs replay  --log scanlog.bin | --wirecap cap.bin  [--kernel ...]
-              [--save-state CK] [--resume CK] [--out map.npy] [--ascii]
+  mqs replay  --log scanlog.bin [more.bin ...] | --wirecap cap.bin
+              [--kernel ...] [--sharded] [--save-state CK] [--resume CK]
+              [--out map.npy] [--pgm map.pgm] [--ascii]
   mqs fusion  --log scanlog.bin | --wirecap cap.bin  [--out track.csv]
   mqs slam    --log scanlog.bin | --wirecap cap.bin  [--kf-every 10]
+              [--out map.npy] [--pgm map.pgm] [--track track.csv]
   mqs sim     [--quads 16] [--seconds 20] [--out-prefix sim]
   mqs synth   --out scanlog.bin [--frames 200] [--path circle|hover|line]
   mqs bench   [replay|swarm]
@@ -32,6 +34,41 @@ def _load_log(path: str):
     return read_scanlog_native(path)
 
 
+def _stack_logs(paths):
+    """Load N scanlogs and stack them into one [B, T, ...] frames batch.
+
+    Mixed lengths pad to the longest log with frames the mapper provably
+    skips: NaN pose fails both map-init (`pose_finite`) and the
+    pose_good gate (replay/mapping.py), and an all-zero ToF grid has no
+    valid beams — so each flight's map is bit-identical to its solo
+    replay (asserted in tests/test_replay.py).  Returns (logs, frames,
+    per-log true lengths)."""
+    from micro_quad_slam_tpu.replay import scanlog_to_arrays
+
+    logs = [_load_log(p) for p in paths]
+    arrs = [scanlog_to_arrays(lg) for lg in logs]
+    lens = [a["x_m"].shape[0] for a in arrs]
+    T = max(lens)
+    nan_keys = ("x_m", "y_m", "yaw_deg", "of_rate_x")
+
+    def pad(a, key):
+        if a.shape[0] == T:
+            return a
+        fill = np.nan if key in nan_keys else 0
+        tail = np.full((T - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, tail])
+
+    frames = {k: np.stack([pad(a[k], k) for a in arrs]) for k in arrs[0]}
+    return logs, frames, lens
+
+
+def _indexed_path(path: str, i: int, n: int) -> str:
+    if n == 1:
+        return path
+    stem, dot, ext = path.rpartition(".")
+    return f"{stem}_{i}{dot}{ext}" if dot else f"{path}_{i}"
+
+
 def _ascii_map(grid: np.ndarray, half: int = 40, step: int = 2) -> str:
     h, w = grid.shape
     cy, cx = h // 2, w // 2
@@ -45,8 +82,6 @@ def _ascii_map(grid: np.ndarray, half: int = 40, step: int = 2) -> str:
 
 def cmd_replay(args) -> int:
     from micro_quad_slam_tpu.ops import logical_grid
-    from micro_quad_slam_tpu.replay import scanlog_to_arrays
-
     from micro_quad_slam_tpu.replay.mapping import (
         mapping_init, replay_mapping_batched)
     if not args.wirecap and not args.log:
@@ -59,37 +94,73 @@ def cmd_replay(args) -> int:
         from micro_quad_slam_tpu.formats.wirecap import read_wirecap
         raw = wirecap_to_frames(read_wirecap(args.wirecap))
         frames = {k: v[None] for k, v in raw.items()}
-        log = None
-        n_frames = raw["x_m"].shape[0]
+        log, lens = None, [raw["x_m"].shape[0]]
     else:
-        log = _load_log(args.log)
-        frames = {k: v[None] for k, v in scanlog_to_arrays(log).items()}
-        n_frames = len(log)
+        logs, frames, lens = _stack_logs(args.log)
+        log = logs[0] if len(logs) == 1 else None
+    B = frames["x_m"].shape[0]
     state0 = None
     if args.resume:
+        if args.sharded:
+            print("--resume is not supported with --sharded",
+                  file=sys.stderr)
+            return 2
         from micro_quad_slam_tpu.utils.checkpoint import (
             latest_checkpoint, restore_checkpoint)
         path = latest_checkpoint(args.resume) or args.resume
-        state0 = restore_checkpoint(path, like=mapping_init(1))
+        state0 = restore_checkpoint(path, like=mapping_init(B))
         print(f"resuming from {path}")
-    state, outs = replay_mapping_batched(frames, _profile(args.profile),
-                                         kernel=args.kernel, state0=state0)
+    if args.sharded:
+        # fleet post-processing: shard the log batch over every visible
+        # device (parallel/mesh.py) — same results, device-parallel
+        import jax
+        from micro_quad_slam_tpu.parallel import replay_mapping_sharded
+        n_dev = len(jax.devices())
+        if B % n_dev:
+            print(f"--sharded needs the log count ({B}) to be a multiple "
+                  f"of the device count ({n_dev})", file=sys.stderr)
+            return 2
+        state, outs, metrics = replay_mapping_sharded(
+            frames, _profile(args.profile), kernel=args.kernel)
+        print(f"sharded over {n_dev} devices: "
+              f"{int(metrics['frames_used'])} of "
+              f"{int(metrics['frames_total'])} frames mapped")
+    else:
+        state, outs = replay_mapping_batched(
+            frames, _profile(args.profile), kernel=args.kernel,
+            state0=state0)
     if args.save_state:
         from micro_quad_slam_tpu.utils.checkpoint import save_checkpoint
-        p = save_checkpoint(args.save_state, state, step=n_frames)
+        import jax
+        p = save_checkpoint(args.save_state,
+                            jax.tree.map(np.asarray, state),
+                            step=max(lens))
         print(f"mapper state -> {p}")
-    state = type(state)(*(v[0] for v in state))
-    outs = {k: v[0] for k, v in outs.items()}
-    grid = np.asarray(logical_grid(state.grid))
-    used = int(np.asarray(outs["used"]).sum())
-    print(f"replayed {n_frames} frames ({used} mapped); "
-          f"occupied={int((grid > 10).sum())} free={int((grid < -10).sum())} "
-          f"origin=({float(state.origin_x):.2f},{float(state.origin_y):.2f})")
-    if args.out:
-        np.save(args.out, grid)
-        print(f"map -> {args.out}")
+    for i in range(B):
+        grid = np.asarray(logical_grid(state.grid[i]))
+        used = int(np.asarray(outs["used"])[i, :lens[i]].sum())
+        tag = f"[{i}] " if B > 1 else ""
+        print(f"{tag}replayed {lens[i]} frames ({used} mapped); "
+              f"occupied={int((grid > 10).sum())} "
+              f"free={int((grid < -10).sum())} "
+              f"origin=({float(state.origin_x[i]):.2f},"
+              f"{float(state.origin_y[i]):.2f})")
+        if args.out:
+            p = _indexed_path(args.out, i, B)
+            np.save(p, grid)
+            print(f"{tag}map -> {p}")
+        if args.pgm:
+            from micro_quad_slam_tpu.utils.obs import save_map_pgm
+            p = save_map_pgm(_indexed_path(args.pgm, i, B), grid,
+                             trinary=not args.pgm_raw)
+            print(f"{tag}map image -> {p}")
+        if args.ascii and B > 1:
+            print(_ascii_map(grid))
+    grid = np.asarray(logical_grid(state.grid[0]))
+    outs = {k: np.asarray(v)[0] for k, v in outs.items()}
     if args.navlog and log is None:
-        print("--navlog requires a scanlog input (--log)", file=sys.stderr)
+        print("--navlog requires a single scanlog input (--log)",
+              file=sys.stderr)
         return 2
     if args.navlog:
         from micro_quad_slam_tpu.formats import NavlogWriter
@@ -106,7 +177,7 @@ def cmd_replay(args) -> int:
                     float(filt[i, 1]), float(filt[i, 2]), float(filt[i, 3]),
                     float("nan"), 0)
         print(f"navlog -> {args.navlog}")
-    if args.ascii:
+    if args.ascii and B == 1:
         print(_ascii_map(grid))
     return 0
 
@@ -200,14 +271,24 @@ def cmd_slam(args) -> int:
         from micro_quad_slam_tpu.replay.livestream import wirecap_to_frames
         raw = wirecap_to_frames(read_wirecap(args.wirecap))
         n_frames = raw["x_m"].shape[0]
-        x_truth, y_truth = raw["x_m"], raw["y_m"]
+        x_truth, y_truth = raw["x_m"][None], raw["y_m"][None]
         frames = {k: v[None] for k, v in raw.items()}
     else:
-        log = _load_log(args.log)
-        raw = {**scanlog_to_arrays(log), **fusion_arrays(log)}
+        logs = [_load_log(p) for p in args.log]
+        if len({len(lg) for lg in logs}) > 1:
+            # padded frames would enter the keyframe graph as NaN nodes
+            # and poison the GN solve; batched SLAM needs equal lengths
+            print("mqs slam with several logs requires equal frame "
+                  f"counts, got {[len(lg) for lg in logs]}",
+                  file=sys.stderr)
+            return 2
+        log = logs[0]
         n_frames = len(log)
-        x_truth, y_truth = log.x_m, log.y_m
-        frames = {k: v[None] for k, v in raw.items()}
+        x_truth = np.stack([lg.x_m for lg in logs])
+        y_truth = np.stack([lg.y_m for lg in logs])
+        dicts = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)}
+                 for lg in logs]
+        frames = {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
     state0 = None
     if args.resume:
         from micro_quad_slam_tpu.utils.checkpoint import (
@@ -231,22 +312,44 @@ def cmd_slam(args) -> int:
             (np.asarray(res.grid), np.asarray(res.origin[0]),
              np.asarray(res.origin[1])), step=n_frames)
         print(f"slam map state -> {p}")
-    grid = np.asarray(logical_grid(res.grid))[0]
-    truth_ok = np.isfinite(x_truth).all()
-    msg = (f"SLAM: {n_frames} frames, {len(np.asarray(res.kf_idx))} keyframes; "
-           f"occupied={int((grid > 10).sum())}")
-    if truth_ok:
-        t = np.stack([x_truth, y_truth], -1)
-        oe = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - t).T).mean()
-        se = np.hypot(*(np.asarray(res.track)[0, :, :2] - t).T).mean()
-        msg += (f"; mean err vs logged track: odom {oe*100:.1f} cm -> "
-                f"slam {se*100:.1f} cm")
-    print(msg)
-    if args.out:
-        np.save(args.out, grid)
-        print(f"corrected map -> {args.out}")
-    if args.ascii:
-        print(_ascii_map(grid))
+    B = frames["x_m"].shape[0]
+    n_kf = len(np.asarray(res.kf_idx))
+    for b in range(B):
+        grid = np.asarray(logical_grid(res.grid))[b]
+        tag = f"[{b}] " if B > 1 else ""
+        msg = (f"{tag}SLAM: {n_frames} frames, {n_kf} keyframes; "
+               f"occupied={int((grid > 10).sum())}")
+        if np.isfinite(x_truth[b]).all():
+            t = np.stack([x_truth[b], y_truth[b]], -1)
+            oe = np.hypot(*(np.asarray(res.odo_track)[b, :, :2] - t).T).mean()
+            se = np.hypot(*(np.asarray(res.track)[b, :, :2] - t).T).mean()
+            msg += (f"; mean err vs logged track: odom {oe*100:.1f} cm -> "
+                    f"slam {se*100:.1f} cm")
+        print(msg)
+        if args.out:
+            p = _indexed_path(args.out, b, B)
+            np.save(p, grid)
+            print(f"{tag}corrected map -> {p}")
+        if args.pgm:
+            from micro_quad_slam_tpu.utils.obs import save_map_pgm
+            p = save_map_pgm(_indexed_path(args.pgm, b, B), grid,
+                             trinary=not args.pgm_raw)
+            print(f"{tag}corrected map image -> {p}")
+        if args.track:
+            trk = np.asarray(res.track)[b]
+            odo = np.asarray(res.odo_track)[b]
+            scan_ms = np.asarray(frames["scan_ms"])[b]
+            p = _indexed_path(args.track, b, B)
+            with open(p, "w") as f:
+                f.write("t_ms,x,y,yaw_rad,odo_x,odo_y,odo_yaw_rad\n")
+                for i in range(n_frames):
+                    f.write(f"{int(scan_ms[i])},{trk[i, 0]:.4f},"
+                            f"{trk[i, 1]:.4f},{trk[i, 2]:.4f},"
+                            f"{odo[i, 0]:.4f},{odo[i, 1]:.4f},"
+                            f"{odo[i, 2]:.4f}\n")
+            print(f"{tag}corrected track -> {p}")
+        if args.ascii:
+            print(_ascii_map(grid))
     return 0
 
 
@@ -368,7 +471,14 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("replay", help="scanlog -> occupancy map")
-    pr.add_argument("--log")
+    pr.add_argument("--log", nargs="+",
+                    help="one or more scanlog.bin files; several logs "
+                         "replay as ONE batched launch (mixed lengths "
+                         "pad with gated-out frames, bit-identical per "
+                         "log to a solo replay)")
+    pr.add_argument("--sharded", action="store_true",
+                    help="shard the log batch over all visible devices "
+                         "(log count must divide evenly)")
     pr.add_argument("--wirecap", help="replay a raw dual-UART capture "
                                       "(hub SCAN/CTRL + FC MAVLink, "
                                       "formats/wirecap.py) instead of a "
@@ -389,6 +499,10 @@ def main(argv=None) -> int:
                          "mode: dense free-space carve + the reference's "
                          "exact endpoint occupied semantics")
     pr.add_argument("--ascii", action="store_true")
+    pr.add_argument("--pgm", help="write the map as a PGM image "
+                                  "(occupied=black/free=white/unknown=gray)")
+    pr.add_argument("--pgm-raw", action="store_true",
+                    help="grayscale log-odds PGM instead of trinary")
     pr.add_argument("--navlog", help="write a reference-format navlog.csv "
                                      "of the replay")
     pr.add_argument("--save-state", help="checkpoint the final mapper state "
@@ -405,7 +519,10 @@ def main(argv=None) -> int:
     pf.set_defaults(fn=cmd_fusion)
 
     ps = sub.add_parser("slam", help="scan-matched + graph-refined map")
-    ps.add_argument("--log")
+    ps.add_argument("--log", nargs="+",
+                    help="one or more scanlog.bin files (equal frame "
+                         "counts) — several logs SLAM as one batched "
+                         "launch")
     ps.add_argument("--wirecap", help="SLAM from a raw dual-UART capture")
     ps.add_argument("--out")
     ps.add_argument("--profile", default="ul", choices=("ul", "cl"))
@@ -417,6 +534,12 @@ def main(argv=None) -> int:
                          "e.g. --slam-set match_feedback=true "
                          "--slam-set match_iters=3")
     ps.add_argument("--ascii", action="store_true")
+    ps.add_argument("--pgm", help="write the corrected map as a PGM image "
+                                  "(occupied=black/free=white/unknown=gray)")
+    ps.add_argument("--pgm-raw", action="store_true",
+                    help="grayscale log-odds PGM instead of trinary")
+    ps.add_argument("--track", help="write the corrected + odometry pose "
+                                    "tracks as CSV")
     ps.add_argument("--save-state", help="checkpoint the corrected map + "
                                          "origins (continue a later "
                                          "segment with --resume)")

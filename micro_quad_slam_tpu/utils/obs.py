@@ -341,3 +341,38 @@ def map_iou_vs_walls(grid, origin_x: float, origin_y: float, room,
     hits = ((pred & dilate(truth, tol_cells)).sum()
             + (truth & dilate(pred, tol_cells)).sum())
     return float(min(hits / 2 / union, 1.0))
+
+
+def save_map_pgm(path: str, grid, occ_thresh: int = 10,
+                 free_thresh: int = -10, trinary: bool = True) -> str:
+    """Write a log-odds occupancy grid as a binary PGM (P5) image.
+
+    The reference's deliverable is the post-flight 2D map rebuilt from
+    scanlog.bin (uav_local_nav.c:94, "offline mapping"); this renders it
+    in the de-facto occupancy-map image convention (ROS map_saver):
+    occupied -> 0 (black), free -> 254 (white), unknown -> 205 (gray),
+    using the reference frontier scorer's own cell classification
+    thresholds (uav_local_nav.c:366-381).  trinary=False instead maps
+    the raw clamped log-odds value linearly (127 - v) so cell evidence
+    strength survives into the image.
+
+    Rows are written north-up (grid row 0 at the bottom of the image)
+    so +x is right and +y is up, matching the world frame.  Pure
+    stdlib + numpy — no image dependencies.
+    """
+    g = np.asarray(grid)
+    if g.ndim != 2:
+        raise ValueError(f"expected a 2-D grid, got shape {g.shape}")
+    v = g.astype(np.int16)
+    if trinary:
+        img = np.full(v.shape, 205, np.uint8)
+        img[v > occ_thresh] = 0
+        img[v < free_thresh] = 254
+    else:
+        img = np.clip(127 - v, 0, 255).astype(np.uint8)
+    img = img[::-1]  # row 0 (south) at the bottom of the image
+    with open(path, "wb") as f:
+        f.write(b"P5\n# micro-quad-slam occupancy map\n")
+        f.write(f"{img.shape[1]} {img.shape[0]}\n255\n".encode())
+        f.write(img.tobytes())
+    return path

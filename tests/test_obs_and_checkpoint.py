@@ -188,3 +188,30 @@ def test_cli_slam_set_overrides():
         _override_slam(base, ["match_feedback=maybe"])
     with pytest.raises(SystemExit):
         _override_slam(base, ["loop_w=1,2"])
+
+
+def test_save_map_pgm_trinary_and_raw(tmp_path):
+    """PGM export: header, trinary classification at the frontier-scorer
+    thresholds, north-up row flip, and the raw grayscale mode."""
+    from micro_quad_slam_tpu.utils.obs import save_map_pgm
+
+    g = np.zeros((6, 4), np.int8)
+    g[0, 1] = 40    # occupied (v > 10), grid row 0 = south
+    g[5, 2] = -40   # free (v < -10), grid row 5 = north
+    g[2, 3] = 7     # within (-10, 10] -> unknown
+    p = save_map_pgm(str(tmp_path / "m.pgm"), g)
+    data = open(p, "rb").read()
+    header, pixels = data.rsplit(b"\n255\n", 1)
+    lines = [ln for ln in header.split(b"\n") if not ln.startswith(b"#")]
+    assert lines[0] == b"P5" and lines[1] == b"4 6"
+    img = np.frombuffer(pixels, np.uint8).reshape(6, 4)
+    assert img[5, 1] == 0      # occupied, flipped to bottom image row
+    assert img[0, 2] == 254    # free, flipped to top image row
+    assert img[3, 3] == 205    # unknown stays gray
+    assert (img == 205).sum() == 6 * 4 - 2
+
+    p2 = save_map_pgm(str(tmp_path / "r.pgm"), g, trinary=False)
+    raw = np.frombuffer(open(p2, "rb").read().rsplit(b"\n255\n", 1)[1],
+                        np.uint8).reshape(6, 4)
+    assert raw[5, 1] == 127 - 40 and raw[0, 2] == 127 + 40
+    assert raw[3, 3] == 127 - 7

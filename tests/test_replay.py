@@ -134,3 +134,45 @@ def test_cl_profile_replay_uses_cl_state_enum():
     frames = scanlog_to_arrays(log)
     state, outs = replay_mapping(frames, CL_PROFILE)
     assert not bool(state.inited)
+
+
+def test_cli_multi_log_replay_matches_solo(tmp_path):
+    """mqs replay with several logs of MIXED lengths runs one batched
+    launch; each per-log map is bit-identical to that log's solo replay
+    (padding frames are provably gated out: NaN pose + zero ToF grid)."""
+    from micro_quad_slam_tpu.cli import _stack_logs, main
+    from micro_quad_slam_tpu.formats.scanlog import write_scanlog
+    from micro_quad_slam_tpu.replay.mapping import replay_mapping_batched
+
+    lens = (50, 34, 42)
+    paths = []
+    for i, n in enumerate(lens):
+        log = synth_room_scanlog(n_frames=n, seed=10 + i,
+                                 path=("circle", "hover", "line")[i],
+                                 noise_mm=5.0)
+        p = tmp_path / f"l{i}.bin"
+        write_scanlog(str(p), log)
+        paths.append(str(p))
+
+    logs, frames, got_lens = _stack_logs(paths)
+    assert got_lens == list(lens)
+    assert frames["x_m"].shape == (3, max(lens))
+    state, _ = replay_mapping_batched(frames, UL_PROFILE)
+    for i, (p, n) in enumerate(zip(paths, lens)):
+        solo = {k: v[None] for k, v in scanlog_to_arrays(logs[i]).items()}
+        st_solo, _ = replay_mapping_batched(solo, UL_PROFILE)
+        assert np.array_equal(np.asarray(state.grid[i]),
+                              np.asarray(st_solo.grid[0])), f"log {i}"
+        assert np.asarray(state.origin_x)[i] == np.asarray(
+            st_solo.origin_x)[0]
+
+    out = tmp_path / "m.npy"
+    rc = main(["replay", "--log", *paths, "--out", str(out)])
+    assert rc == 0
+    for i in range(3):
+        m = np.load(tmp_path / f"m_{i}.npy")
+        assert m.shape == np.asarray(logical_grid(state.grid[0])).shape
+        assert np.array_equal(m, np.asarray(logical_grid(state.grid[i])))
+
+    # --sharded needs the log count to divide the device count (8 here)
+    assert main(["replay", "--log", *paths, "--sharded"]) == 2

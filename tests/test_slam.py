@@ -466,3 +466,48 @@ def test_slam_feedback_ab_holds_accuracy():
         assert slam_err[-20:].mean() < odo_err[-20:].mean() * 0.7, (
             cfg.slam.match_feedback,
             odo_err[-20:].mean(), slam_err[-20:].mean())
+
+
+def test_cli_slam_exports_track_and_pgm(tmp_path):
+    """mqs slam --track/--pgm: CSV has corrected + odometry columns for
+    every frame, and the PGM parses as a trinary occupancy image."""
+    from micro_quad_slam_tpu.cli import main
+    from micro_quad_slam_tpu.formats.scanlog import write_scanlog
+
+    log = synth_room_scanlog(n_frames=60, path="circle", path_radius_m=1.0,
+                             noise_mm=4.0, with_flow=True, seed=3)
+    log_path = tmp_path / "s.bin"
+    write_scanlog(str(log_path), log)
+    track = tmp_path / "trk.csv"
+    pgm = tmp_path / "m.pgm"
+    rc = main(["slam", "--log", str(log_path), "--kf-every", "10",
+               "--track", str(track), "--pgm", str(pgm)])
+    assert rc == 0
+    rows = track.read_text().strip().split("\n")
+    assert rows[0] == "t_ms,x,y,yaw_rad,odo_x,odo_y,odo_yaw_rad"
+    assert len(rows) == 61
+    assert all(len(r.split(",")) == 7 for r in rows[1:])
+    data = pgm.read_bytes()
+    header, pixels = data.rsplit(b"\n255\n", 1)
+    lines = [ln for ln in header.split(b"\n") if not ln.startswith(b"#")]
+    w, h = (int(v) for v in lines[1].split())
+    img = np.frombuffer(pixels, np.uint8).reshape(h, w)
+    assert set(np.unique(img)) <= {0, 205, 254}
+    assert (img == 0).sum() > 0 and (img == 254).sum() > 0
+
+    # batched multi-log SLAM: same flight twice -> identical per-log
+    # outputs, written with _0/_1 suffixes
+    rc = main(["slam", "--log", str(log_path), str(log_path),
+               "--kf-every", "10", "--track", str(track)])
+    assert rc == 0
+    t0 = (tmp_path / "trk_0.csv").read_text()
+    t1 = (tmp_path / "trk_1.csv").read_text()
+    assert t0 == t1  # identical logs -> identical per-log tracks
+
+    # unequal frame counts are refused (padding would poison the graph)
+    short = synth_room_scanlog(n_frames=30, path="circle",
+                               path_radius_m=1.0, noise_mm=4.0,
+                               with_flow=True, seed=4)
+    short_path = tmp_path / "s2.bin"
+    write_scanlog(str(short_path), short)
+    assert main(["slam", "--log", str(log_path), str(short_path)]) == 2
