@@ -106,32 +106,43 @@ def _score_lattice(window, wy0, wx0, beams, x_guess, y_guess,
     import jax as _jax
     pts, hit = _jax.vmap(yaw_endpoints)(jnp.asarray(offs_yaw))  # [Y, 32, 2], [Y, 32]
 
-    # candidate endpoint cells: [Y, 32] base + [Tx] x [Ty] world offsets
-    ex = pts[..., 0][:, None, None, :] + offs_xy[None, :, None, None]
-    ey = pts[..., 1][:, None, None, :] + offs_xy[None, None, :, None]
+    # SEPARABLE lattice: the world offsets shift x and y independently,
+    # so the endpoint column index rx varies only over (Y, Tx, beam) and
+    # the row index ry only over (Y, Ty, beam) — the [Y*Tx*Ty*32, win]
+    # one-hot batch of the round-2 formulation factors into two small
+    # per-(Y, beam) matmuls.  ~7x fewer MXU FLOPs, and the largest
+    # intermediate shrinks from [N=10976, 128] f32 per match (which
+    # OOMed the flat SLAM keyframe-match batch at B=128 on a 16 GB
+    # chip) to [Y, 32, Ty, 128].  Per-entry values are identical: each
+    # output cell of BOTH dots sums exactly one nonzero product in f32
+    # (one-hot selectors; int8 grid values are bf16-representable), and
+    # the beam reduction below keeps the same axis order as before.
+    ex = pts[..., 0][:, :, None] + offs_xy[None, None, :]      # [Y, 32, Tx]
+    ey = pts[..., 1][:, :, None] + offs_xy[None, None, :]      # [Y, 32, Ty]
     cx, cy = world_to_cell(ex, ey, origin_x, origin_y, cfg.res_m,
                            cfg.width // 2, cfg.height // 2)
-    # cx varies over (Y, Tx), cy over (Y, Ty): broadcast to the full
-    # lattice BEFORE flattening (the old gather broadcast implicitly)
-    sh = jnp.broadcast_shapes(cx.shape, cy.shape)              # [Y, Tx, Ty, 32]
-    cx = jnp.broadcast_to(cx, sh)
-    cy = jnp.broadcast_to(cy, sh)
-    inb = (cx >= 0) & (cx < cfg.width) & (cy >= 0) & (cy < cfg.height)
-    ry = (cy + geom.pad - wy0).reshape(-1, 1)                  # [N, 1]
-    rx = (cx + geom.pad - wx0).reshape(-1, 1)
-    rows = jnp.arange(geom.win_rows)[None, :]
-    cols = jnp.arange(geom.win_cols)[None, :]
-    # bf16 operands: one-hot selectors and int8 grid values are exactly
-    # bf16-representable, and each output cell sums one nonzero product
-    # in f32 — bit-identical to the f32 matmul at ~4x the MXU rate
-    A = (ry == rows).astype(jnp.bfloat16)                      # [N, 96]
-    C = (rx == cols).astype(jnp.float32)                       # [N, 128]
-    G = lax.dot_general(A, window.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # [N, 128]
-    vals = (G * C).sum(axis=-1).reshape(sh)
-    w = (hit[:, None, None, :] & inb).astype(jnp.float32)
-    return (vals * w).sum(axis=-1), hit
+    # each side folds its own in-grid test (and the row side the hit
+    # mask) into its one-hot: the product is zero unless BOTH cell axes
+    # are in the logical grid and the beam hit — identical to the old
+    # explicit (hit & inb) weight
+    iny = (cy >= 0) & (cy < cfg.height)
+    inx = (cx >= 0) & (cx < cfg.width)
+    ry = cy + geom.pad - wy0                                   # [Y, 32, Ty]
+    rx = cx + geom.pad - wx0                                   # [Y, 32, Tx]
+    rows = jnp.arange(geom.win_rows)
+    cols = jnp.arange(geom.win_cols)
+    R = ((ry[..., None] == rows) & iny[..., None]
+         & hit[:, :, None, None]).astype(jnp.bfloat16)   # [Y, 32, Ty, 96]
+    Cc = ((rx[..., None] == cols)
+          & inx[..., None]).astype(jnp.bfloat16)         # [Y, 32, Tx, 128]
+    T1 = lax.dot_general(R, window.astype(jnp.bfloat16),
+                         (((3,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)  # [Y, 32, Ty, 128]
+    M = lax.dot_general(T1.astype(jnp.bfloat16), Cc,
+                        (((3,), (3,)), ((0, 1), (0, 1))),
+                        preferred_element_type=jnp.float32)   # [Y, 32, Ty, Tx]
+    vals = jnp.transpose(M, (0, 3, 2, 1))                     # [Y, Tx, Ty, 32]
+    return vals.sum(axis=-1), hit
 
 
 def _window_by_matmul(padded_grid, wy0, wx0, geom: GridGeom):
