@@ -152,6 +152,9 @@ class GoldenBehavior:
     fwd_vel: float = 0.35
     yaw_rate_dps: float = 20.0
     explore_enabled: bool = True
+    # HOVER_TEST_ONLY (uav_local_nav.c:522,2196): park in HOVER — the
+    # `break` lands after hover hold/map init, before the EXPLORE gate.
+    hover_test_only: bool = False
 
     # ---- state ----
     st: int = ST_WAIT_LINK
@@ -747,7 +750,8 @@ class GoldenBehavior:
             out.map_init = True
             out.map_origin = (self.hover_x, self.hover_y)
 
-        if self.explore_enabled and xy_stable and (t - self.hover_enter_ms) > 1200:
+        if (self.explore_enabled and not self.hover_test_only
+                and xy_stable and (t - self.hover_enter_ms) > 1200):
             self._enter(tm, ST_EXPLORE)
 
     def _explore_tick(self, tm: Telemetry, out: Outputs) -> None:

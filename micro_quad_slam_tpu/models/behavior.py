@@ -538,7 +538,9 @@ def behavior_step(state: BehaviorState, tm: dict,
     O["map_init"] = O["map_init"] | minit
     O["map_origin_x"] = W(minit, S["hover_x"], O["map_origin_x"])
     O["map_origin_y"] = W(minit, S["hover_y"], O["map_origin_y"])
-    if bh.explore_enabled:
+    if bh.explore_enabled and not bh.hover_test_only:
+        # HOVER_TEST_ONLY `break` lands before this gate
+        # (uav_local_nav.c:2196-2199)
         enter(ST_EXPLORE, hov & xy_stable_h
               & (t - S["hover_enter"] > bh.hover_explore_delay_ms))
 

@@ -180,6 +180,11 @@ class BehaviorConfig:
     landing_near_ground_m: float = 0.10
     ceiling_descend_mps: float = 0.30  # (uav_local_nav.c:2026)
     explore_enabled: bool = True       # clean drops EXPLORE/TURNING
+    # UL's one behavior-affecting compile-time toggle (HOVER_TEST_ONLY,
+    # uav_local_nav.c:522): `break` out of the HOVER case AFTER hover
+    # hold + map init but BEFORE the EXPLORE transition (:2196-2199) —
+    # the machine parks in HOVER with EXPLORE/TURNING still compiled in.
+    hover_test_only: bool = False
     takeoff_exit_margin_m: float = 0.05  # hover at target-0.05 (uav_local_nav.c:2164)
     hover_capture_min_alt_m: float = 0.15  # clean prelock gate (clean:106)
     prearm_stable_ms: int = 400        # clean:107

@@ -51,6 +51,29 @@ def test_nominal_mission_reaches_explore():
     assert sum(1 for o in outs if o.map_init) >= 1
 
 
+def test_hover_test_only_parks_in_hover():
+    """HOVER_TEST_ONLY (uav_local_nav.c:522,2196) — the one behavior-
+    affecting compile-time toggle: HOVER's break lands after hover hold
+    and map init, before the EXPLORE gate.  The nominal mission reaches
+    HOVER, holds position, inits the map, and never leaves; golden and
+    JAX twins agree on the full trace."""
+    gb = GoldenBehavior(hover_test_only=True)
+    telems, gouts = run_scenario(Scenario(seed=1), n_ticks=1500, machine=gb)
+    st = states_of(gouts)
+    assert ST_HOVER in st
+    assert ST_EXPLORE not in st and ST_TURNING not in st
+    assert st[-1] == ST_HOVER
+    assert any(o.cmd_kind == CMD_POS_YAW for o in gouts)   # still holds
+    assert sum(1 for o in gouts if o.map_init) >= 1        # still inits map
+
+    cfg = UL_PROFILE.replace(behavior=dataclasses.replace(
+        UL_PROFILE.behavior, hover_test_only=True))
+    jouts = run_jax_trace(telems, cfg)
+    np.testing.assert_array_equal(jouts["state"], np.asarray(st))
+    np.testing.assert_array_equal(
+        jouts["cmd_kind"], np.asarray([o.cmd_kind for o in gouts]))
+
+
 def test_disarm_command_lands_disarms():
     telems, outs = run_scenario(
         Scenario(seed=2, disarm_at_ms=12000), n_ticks=1200)

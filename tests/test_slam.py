@@ -111,6 +111,84 @@ def _wall_grid_and_beams(offset=(0.0, 0.0)):
     return padded, jnp.asarray(beams1)
 
 
+def test_score_lattice_matches_bruteforce():
+    """Advisor (round 3): the separable one-hot lattice scorer is the
+    precision-sensitive heart of the matcher (bf16 one-hot matmuls) — pin
+    it against a plain numpy gather scorer, exact equality on random
+    grids/beams/poses.  Integer int8 window values summed over <=32 beams
+    stay exactly representable in f32/bf16-one-hot products, so equality
+    is exact, not approximate."""
+    from micro_quad_slam_tpu.ops.scanmatch import _score_lattice
+
+    cfg, tof = UL_PROFILE.map, UL_PROFILE.tof
+    n_xy, n_yaw = 7, 7
+    xy_step, yaw_step = 0.05, 1.0
+    rng = np.random.default_rng(17)
+    half_fov = F32(tof.half_fov_deg)
+    u8 = (np.arange(8, dtype=np.float32) - F32(3.5)) / F32(3.5)
+    centers = np.asarray(tof.dir_center_deg, np.float32)
+    offs_xy = (np.arange(n_xy, dtype=np.float32) - (n_xy - 1) / 2) * F32(xy_step)
+    offs_yaw = (np.arange(n_yaw, dtype=np.float32) - (n_yaw - 1) / 2) * F32(yaw_step)
+    deg2rad = F32(np.pi / 180.0)
+
+    def brute(window, wy0, wx0, beams, xg, yg, yawg, ox, oy):
+        scores = np.zeros((n_yaw, n_xy, n_xy), np.float32)
+        dist = beams.reshape(4, 8)
+        hit = ((~np.isnan(dist)) & (dist > F32(tof.map_skip_below_m))
+               & (dist < F32(tof.max_range_m) - F32(tof.hit_margin_m)))
+        d = np.where(hit, dist, F32(0.0)).astype(np.float32)
+        for yi in range(n_yaw):
+            yaw = F32(yawg + offs_yaw[yi])
+            ang = ((yaw + centers[:, None]) + (u8 * half_fov)[None, :]) * deg2rad
+            px = (xg + d * np.cos(ang, dtype=np.float32)).reshape(32)
+            py = (yg + d * np.sin(ang, dtype=np.float32)).reshape(32)
+            h = hit.reshape(32)
+            for tx in range(n_xy):
+                for ty in range(n_xy):
+                    ex = (px + offs_xy[tx]).astype(np.float32)
+                    ey = (py + offs_xy[ty]).astype(np.float32)
+                    cx = np.round((ex - ox) / F32(cfg.res_m)).astype(np.int32) + 250
+                    cy = np.round((ey - oy) / F32(cfg.res_m)).astype(np.int32) + 250
+                    ry = cy + GEOM.pad - wy0
+                    rx = cx + GEOM.pad - wx0
+                    ok = (h & (cx >= 0) & (cx < cfg.width)
+                          & (cy >= 0) & (cy < cfg.height)
+                          & (ry >= 0) & (ry < GEOM.win_rows)
+                          & (rx >= 0) & (rx < GEOM.win_cols))
+                    scores[yi, tx, ty] = np.float32(window[
+                        np.clip(ry, 0, GEOM.win_rows - 1),
+                        np.clip(rx, 0, GEOM.win_cols - 1)].astype(np.float32)
+                        [ok].sum())
+        return scores
+
+    for trial in range(4):
+        window = rng.integers(-80, 81, (GEOM.win_rows, GEOM.win_cols),
+                              dtype=np.int64).astype(np.int8)
+        beams = rng.uniform(0.0, 4.2, (4, 8)).astype(np.float32)
+        beams[rng.random((4, 8)) < 0.2] = np.nan   # invalid beams
+        ox, oy = F32(rng.uniform(-2, 2)), F32(rng.uniform(-2, 2))
+        if trial < 2:
+            xg = F32(ox + rng.uniform(-1, 1))      # interior pose
+            yg = F32(oy + rng.uniform(-1, 1))
+        else:
+            xg = F32(ox + rng.uniform(21.0, 24.0))  # near the grid edge:
+            yg = F32(oy + rng.uniform(21.0, 24.0))  # out-of-grid masking fires
+        yawg = F32(rng.uniform(-180, 180))
+        pcx = int(np.round((xg - ox) / F32(cfg.res_m))) + 250
+        pcy = int(np.round((yg - oy) / F32(cfg.res_m))) + 250
+        wy0 = int(np.clip(pcy + GEOM.pad - GEOM.win_rows // 2, 0,
+                          GEOM.prows - GEOM.win_rows))
+        wx0 = int(np.clip(pcx + GEOM.pad - GEOM.win_cols // 2, 0,
+                          GEOM.pcols - GEOM.win_cols))
+        got, _ = jax.jit(
+            lambda w, b: _score_lattice(
+                w, wy0, wx0, b, xg, yg, yawg, ox, oy, cfg, tof, GEOM,
+                n_xy, n_yaw, xy_step, yaw_step))(jnp.asarray(window),
+                                                 jnp.asarray(beams))
+        want = brute(window, wy0, wx0, beams, xg, yg, yawg, ox, oy)
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=f"trial {trial}")
+
+
 def test_scanmatch_recovers_translation():
     offset = (0.12, -0.08)
     padded, beams = _wall_grid_and_beams(offset)
