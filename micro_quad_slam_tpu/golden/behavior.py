@@ -85,6 +85,10 @@ class Telemetry:
     batt_vpc: float = float("nan")
     batt_cells: int = 0
     batt_last_ms: int = 0
+    # clean-only: the intake validity LATCH (clean:158,1291-1294) — the
+    # CL battery tick gates on this flag, not on a per-tick freshness
+    # re-check; maintained by the telemetry adapter / mock
+    batt_valid: bool = False
     have_lpos: bool = False
     lpos_last_ms: int = 0
     lpos_x: float = float("nan")

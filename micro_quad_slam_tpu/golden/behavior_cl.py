@@ -182,11 +182,15 @@ class GoldenBehaviorCL(GoldenBehavior):
         return True
 
     def _batt_valid(self, tm: Telemetry) -> bool:
-        # batt_valid is maintained by the telemetry adapter in the C
-        # (clean:1247-1301); here: fresh + vpc in the validity window
-        return (self._batt_fresh(tm)
-                and F32(1.0) <= F32(tm.batt_vpc) <= F32(6.0)
-                and F32(2.5) <= F32(tm.batt_vpc) <= F32(4.8))
+        # the intake validity LATCH (clean:158,1291-1294), maintained by
+        # the telemetry adapter / mock exactly like handle_battery_status:
+        # the CL tick gates on the flag alone — NO per-tick freshness
+        # re-check (the C keeps acting on the last valid vpc; an invalid
+        # reading clears the latch until the next valid one).  The
+        # previous fresh+window re-derivation here diverged on exactly
+        # those corners — caught by the compiled-C fuzz-diff
+        # (tests/test_golden_vs_c_cl.py).
+        return tm.batt_valid
 
     def _arm_allowed_by_battery(self, tm: Telemetry) -> bool:
         if not self._batt_valid(tm):

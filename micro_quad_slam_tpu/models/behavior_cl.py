@@ -166,11 +166,11 @@ def behavior_step_cl(state: BehaviorClState, tm: dict,
     of_fresh = tm["have_of"] & (t - tm["of_last_ms"] < 400)
     lpos_fresh = tm["have_lpos"] & (t - tm["lpos_last_ms"] < 400)
     rf_fresh = tm["have_rf"] & (t - tm["rf_last_ms"] < 400)
-    batt_fresh = ((tm["batt_last_ms"] != 0) & (t - tm["batt_last_ms"] < 2000)
-                  & jnp.isfinite(tm["batt_vpc"]) & (tm["batt_cells"] > 0))
     bt = cfg.battery
-    batt_valid = (batt_fresh & (tm["batt_vpc"] >= _F32(bt.vpc_valid_lo))
-                  & (tm["batt_vpc"] <= _F32(bt.vpc_valid_hi)))
+    # the intake validity LATCH (clean:158,1291-1294): maintained by the
+    # telemetry adapter/mock exactly like handle_battery_status — the CL
+    # tick gates on the flag alone, no per-tick freshness re-check
+    batt_valid = tm["batt_valid"]
     servo_fresh_250 = tm["have_servo"] & (t - tm["servo_last_ms"] < 250)
     servo_fresh_200 = tm["have_servo"] & (t - tm["servo_last_ms"] < 200)
 

@@ -384,6 +384,11 @@ def sim_step(state: SimState, world: World, cfg: PipelineConfig = UL_PROFILE,
         "batt_vpc": fc.batt_v * _F32(0.5),
         "batt_cells": jnp.full((B,), 2, jnp.int32),
         "batt_last_ms": bt,
+        # intake latch as handle_battery_status would set it for a
+        # 2-cell reading (clean:1286-1294)
+        "batt_valid": ((fc.batt_v >= _F32(3.0)) & (fc.batt_v <= _F32(30.0))
+                       & (fc.batt_v * _F32(0.5) >= _F32(2.5))
+                       & (fc.batt_v * _F32(0.5) <= _F32(4.8))),
         "have_lpos": jnp.ones((B,), bool),
         "lpos_last_ms": bt,
         "lpos_x": ekf.mean[..., 0],

@@ -51,6 +51,14 @@ class TelemetryAdapter:
     batt_vpc: float = float("nan")
     batt_cells: int = 0
     batt_last_ms: int = 0
+    # clean-only battery intake state (clean:154-220): the validity LATCH
+    # (not re-derived per tick — an invalid reading leaves it false until
+    # the next valid one), the SYS_STATUS voltage sideband, and the
+    # 1 Hz battery-log timer the sideband's invalidation is gated on
+    batt_valid: bool = False
+    batt_v_total_sys: float = float("nan")
+    batt_sys_last_ms: int = 0
+    last_batt_log_ms: int = 0
     have_lpos: bool = False
     lpos_x: float = float("nan")
     lpos_y: float = float("nan")
@@ -128,25 +136,72 @@ class TelemetryAdapter:
             self.sys_enabled = f["onboard_control_sensors_enabled"]
             self.sys_health = f["onboard_control_sensors_health"]
             self.sys_last_ms = t
+            # clean battery sideband (clean:1177-1203): capture the pack
+            # voltage, and — only on the shared 1 Hz battery-log cadence,
+            # with BATTERY_STATUS stale >2 s — an insane sys voltage
+            # invalidates the battery latch.  The log-cadence coupling is
+            # reproduced because it gates a semantic write (compiled-C
+            # fuzz-diffed in tests/test_golden_vs_c_cl.py).
+            if self.clean_battery:
+                do_log = (t - self.last_batt_log_ms) > 1000
+                if do_log:
+                    self.last_batt_log_ms = t
+                vb = f["voltage_battery"]
+                if 0 < vb < 60000:
+                    self.batt_v_total_sys = float(
+                        F32(vb) * F32(0.001))
+                    self.batt_sys_last_ms = t
+                    if do_log and (t - self.batt_last_ms) > 2000:
+                        if (F32(self.batt_v_total_sys) < F32(3.0)
+                                or F32(self.batt_v_total_sys) > F32(30.0)):
+                            self.batt_valid = False
             self.have_sys = True
         elif name == "SERVO_OUTPUT_RAW":
             self.servo_raw = tuple(f[f"servo{i}_raw"] for i in range(1, 9))
             self.servo_last_ms = t
             self.have_servo = True
         elif name == "BATTERY_STATUS":
-            # per-cell sum (uav_local_nav.c:1096-1114); clean adds pack/4
-            # inference when a single reading > 6 V (clean:1282-1299)
-            vs = [f[f"voltage{i}"] for i in range(10)]
-            cells = [v for v in vs if 0 < v < 20000]
-            if cells:
-                total = sum(cells) * 1e-3
-                n = len(cells)
-                if self.clean_battery and n == 1 and total > 6.0:
-                    n = 4
-                self.batt_v_total = total
+            # per-cell f32 sum (uav_local_nav.c:1100-1113); clean adds
+            # lrintf(pack/4) cell inference clamped to [2, 6] when a
+            # single reading > 6 V, plus the three-gate validity latch
+            # (clean:1265-1299) — fuzz-diffed against the compiled C in
+            # tests/test_golden_vs_c_cl.py
+            if self.clean_battery:
+                # the 1 Hz battery-log timer advances at handler ENTRY
+                # (clean:1256-1258), before the voltage filter — even a
+                # zero-valid-cell frame consumes the log slot, which the
+                # SYS_STATUS sideband's invalidation is gated on
+                if (t - self.last_batt_log_ms) > 1000:
+                    self.last_batt_log_ms = t
+            sum_v = F32(0.0)
+            n = 0
+            for i in range(10):
+                v = f[f"voltage{i}"]
+                if 0 < v < 20000:
+                    sum_v = F32(sum_v + F32(v) * F32(0.001))
+                    n += 1
+            if n and not self.clean_battery:
+                self.batt_v_total = float(sum_v)
                 self.batt_cells = n
-                self.batt_vpc = total / n
+                self.batt_vpc = float(F32(sum_v / F32(n)))
                 self.batt_last_ms = t
+            elif n:
+                cells_used = n
+                if n == 1 and sum_v > F32(6.0):
+                    inferred = int(np.rint(sum_v / F32(4.0)))  # lrintf
+                    cells_used = min(max(inferred, 2), 6)
+                new_vpc = F32(sum_v / F32(cells_used))
+                v_ok = F32(3.0) <= sum_v <= F32(30.0)
+                c_ok = 0 < cells_used <= 8
+                vpc_ok = F32(2.5) <= new_vpc <= F32(4.8)
+                if v_ok and c_ok and vpc_ok:
+                    self.batt_v_total = float(sum_v)
+                    self.batt_cells = cells_used
+                    self.batt_vpc = float(new_vpc)
+                    self.batt_last_ms = t
+                    self.batt_valid = True
+                else:
+                    self.batt_valid = False
         elif name == "ATTITUDE":
             self.roll = f["roll"]
             self.pitch = f["pitch"]
@@ -242,7 +297,8 @@ class TelemetryAdapter:
             have_servo=self.have_servo, servo_last_ms=self.servo_last_ms,
             motor_avg=sum(self.servo_raw[:4]) * 0.25,
             batt_vpc=self.batt_vpc, batt_cells=self.batt_cells,
-            batt_last_ms=self.batt_last_ms, have_lpos=self.have_lpos,
+            batt_last_ms=self.batt_last_ms, batt_valid=self.batt_valid,
+            have_lpos=self.have_lpos,
             lpos_last_ms=self.lpos_last_ms, lpos_x=self.lpos_x,
             lpos_y=self.lpos_y, lpos_alt_filt=self.lpos_alt_filt,
             have_att=self.have_att, yaw_deg=yaw_deg, have_of=self.have_of,

@@ -131,9 +131,10 @@ class BatteryConfig:
     emerg_vpc: float = 3.35
     low_hold_ms: int = 1200
     fresh_ms: int = 2000
-    # Clean validity window and cell inference (clean:939-941,1282-1284)
-    vpc_valid_lo: float = 2.5
-    vpc_valid_hi: float = 4.8
+    # Clean validity window and cell inference (clean:939-941,1282-1299)
+    # live in the telemetry adapter's intake latch (replay/telemetry.py,
+    # fuzz-diffed against the compiled C) — the tick gates on
+    # Telemetry.batt_valid, exactly like the C's batt_valid flag.
     # Clean suppresses LAND actions (log only) (clean:2127-2175)
     land_actions_enabled: bool = True
 

@@ -203,6 +203,10 @@ class FcMock:
             batt_vpc=self.batt_v / 2.0,
             batt_cells=2,
             batt_last_ms=t,
+            # intake latch as handle_battery_status would set it for a
+            # 2-cell reading (clean:1286-1294)
+            batt_valid=(3.0 <= self.batt_v <= 30.0
+                        and 2.5 <= self.batt_v / 2.0 <= 4.8),
             have_lpos=True,
             lpos_last_ms=t if lpos_ok else max(0, t - 5000),
             lpos_x=0.1 + noise,

@@ -137,7 +137,7 @@ _TM_KEYS = [
     ("sys_health", np.uint32), ("sys_enabled", np.uint32), ("have_servo", bool),
     ("servo_last_ms", np.int32), ("motor_avg", np.float32),
     ("batt_vpc", np.float32), ("batt_cells", np.int32),
-    ("batt_last_ms", np.int32), ("have_lpos", bool),
+    ("batt_last_ms", np.int32), ("batt_valid", bool), ("have_lpos", bool),
     ("lpos_last_ms", np.int32), ("lpos_x", np.float32),
     ("lpos_y", np.float32), ("lpos_alt_filt", np.float32),
     ("have_att", bool), ("yaw_deg", np.float32), ("have_of", bool),
