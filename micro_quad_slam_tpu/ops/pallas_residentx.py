@@ -511,20 +511,12 @@ def _flush_slab(st_ref, vgrid, slab, sem, geom: GridGeom):
     st_ref[0] = 0
 
 
-def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
-                      st_ref, sem_g, sem_w, sem_o, *, geom: GridGeom,
-                      cfg: MapConfig, ng: int, F: int):
-    """ws_ref: SMEM i32 [1, 1, 1, 8F+8] (aux scalars); wv_ref: VMEM f32
-    [1, 1, F, 32, 128] (word blocks; converted to i32 in-kernel);
-    grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); vgrid:
-    resident VMEM grid; slab: VMEM i8 [96, 256] aligned window, sticky
-    across same-region groups (st_ref tracks its liveness/region)."""
+def _rx_prologue(ws_ref, grid_ref, vgrid, slab, st_ref, sem_g, sem_w,
+                 t, b, A, geom: GridGeom):
+    """Shared kernel prologue: first-group grid load + frame-0 recenter
+    (later-frame recenters force the fallback path, which handles them
+    inline)."""
     from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
-
-    t = pl.program_id(1)
-    b = pl.program_id(0)
-    A = lambda f, k: ws_ref[0, 0, 0, 8 * f + k]
-    G = lambda k: ws_ref[0, 0, 0, 8 * F + k]
 
     @pl.when(t == 0)
     def _():
@@ -536,12 +528,42 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
         # program)
         st_ref[0] = 0
 
-    # frame-0 recenter applies before any of the group's rays (later-
-    # frame recenters force the fallback path, which handles them inline)
     @pl.when(A(0, _A_DO) != 0)
     def _():
         _flush_slab(st_ref, vgrid, slab, sem_w, geom)
         _recenter_in_vmem(vgrid, A(0, _A_RSY), A(0, _A_RSX), geom)
+
+
+def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
+                      st_ref, sem_g, sem_w, sem_o, *, geom: GridGeom,
+                      cfg: MapConfig, ng: int, F: int):
+    """ws_ref: SMEM i32 [1, 1, 1, 8F+8] (aux scalars); wv_ref: VMEM f32
+    [1, 1, F, 32, 128] (word blocks; converted to i32 in-kernel);
+    grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); vgrid:
+    resident VMEM grid; slab: VMEM i8 [96, 256] aligned window, sticky
+    across same-region groups (st_ref tracks its liveness/region)."""
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+    A = lambda f, k: ws_ref[0, 0, 0, 8 * f + k]
+    G = lambda k: ws_ref[0, 0, 0, 8 * F + k]
+
+    _rx_prologue(ws_ref, grid_ref, vgrid, slab, st_ref, sem_g, sem_w,
+                 t, b, A, geom)
+    _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G, geom, cfg, F)
+
+    @pl.when(t == ng - 1)
+    def _():
+        _flush_slab(st_ref, vgrid, slab, sem_w, geom)
+        cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
+        cp.start()
+        cp.wait()
+
+
+def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
+                   geom: GridGeom, cfg: MapConfig, F: int):
+    """One group's ray work: merged fast path or per-frame fallback
+    (shared by the plain and the snapshot-emitting kernels)."""
+    from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
 
     wr, wc = geom.win_rows, geom.win_cols
     awc = 2 * wc
@@ -612,6 +634,63 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
                     sem_w)
                 cp.start()
                 cp.wait()
+
+
+def _snap_dims(geom: GridGeom) -> tuple:
+    """Snapshot slab shape [win_rows + 8, 2*win_cols]: 8 extra rows cover
+    the 8-alignment of the slab start below the true window origin, and
+    the doubled lane width covers the 128-alignment (offsets stay in
+    [0, 8] x [0, 128] — see _snap_align)."""
+    return geom.win_rows + 8, 2 * geom.win_cols
+
+
+def _snap_align(wy0, wx0, geom: GridGeom):
+    """Aligned snapshot-slab origin for a match window at (wy0, wx0):
+    8/128-aligned, clipped so the [win_rows+8, 2*win_cols] slab stays
+    inside the padded grid.  The window offset within the slab is
+    (wy0 - r0s, wx0 - c0s) in [0, 8] x [0, 128]."""
+    sr, sc = _snap_dims(geom)
+    r0s = jnp.clip((wy0 // 8) * 8, 0, geom.prows - sr)
+    c0s = jnp.clip((wx0 // 128) * 128, 0, geom.pcols - sc)
+    return r0s, c0s
+
+
+def _residentx_snap_kernel(ws_ref, wv_ref, grid_ref, out_ref, snap_ref,
+                           vgrid, slab, st_ref, sem_g, sem_w, sem_o, *,
+                           geom: GridGeom, cfg: MapConfig, ng: int,
+                           F: int):
+    """_residentx_kernel + per-group SNAPSHOT windows: before this
+    group's rays land (but after its frame-0 recenter), the grid region
+    around each of the group's F poses is DMA'd to snap_ref[b, t*F + f]
+    — the chunk-start submaps the SLAM pass-1 matcher scores against,
+    produced by ONE launch over the whole keyframe track instead of one
+    launch per chunk (round-3 pass 1 spent ~60% of SLAM latency on 14
+    serialized chunk launches).  ws_ref gains 2F aux lanes: the aligned
+    slab origin (r0s, c0s) per frame, computed by the schedule in the
+    CHUNK-START origin frame (after a mid-track recenter a keyframe's
+    own origin no longer describes the snapshot grid)."""
+    t = pl.program_id(1)
+    b = pl.program_id(0)
+    A = lambda f, k: ws_ref[0, 0, 0, 8 * f + k]
+    G = lambda k: ws_ref[0, 0, 0, 8 * F + k]
+    S = lambda f, j: ws_ref[0, 0, 0, 8 * F + 8 + 2 * f + j]
+
+    _rx_prologue(ws_ref, grid_ref, vgrid, slab, st_ref, sem_g, sem_w,
+                 t, b, A, geom)
+
+    # snapshots read vgrid directly: flush any live slab first
+    _flush_slab(st_ref, vgrid, slab, sem_w, geom)
+    sr, sc = _snap_dims(geom)
+    for f in range(F):
+        r0s = pl.multiple_of(S(f, 0), 8)
+        c0s = pl.multiple_of(S(f, 1), 128)
+        cp = pltpu.make_async_copy(
+            vgrid.at[pl.ds(r0s, sr), pl.ds(c0s, sc)],
+            snap_ref.at[b, t * F + f], sem_o)
+        cp.start()
+        cp.wait()
+
+    _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G, geom, cfg, F)
 
     @pl.when(t == ng - 1)
     def _():
@@ -800,6 +879,86 @@ def _map_chunk_sched_jit(grids, beams, x, y, yaw_deg, ox, oy, do, rsy,
     args, _ = pad_frames_to_group(args, C)
     aux, words = _pack_words_x(*args, cfg.map, cfg.tof, geom)
     return _residentx_call(aux, words, grids, cfg.map, geom, interpret)
+
+
+def pallas_map_snap(grids, beams, x, y, yaw_deg, ox, oy, do, rsy, rsx,
+                    wy0, wx0, n_kf: int,
+                    cfg: PipelineConfig = UL_PROFILE,
+                    geom: GridGeom = DEFAULT_GEOM,
+                    interpret: bool | None = None):
+    """pallas_map_chunk_sched over keyframe SLOTS, grouped n_kf slots per
+    program (one program per snapshot chunk), that ADDITIONALLY emits the
+    chunk-start snapshot slab around every slot's match window: inputs
+    [B, K] slot arrays (K a multiple of n_kf) + the match-window origins
+    (wy0, wx0) i32 [B, K] in padded-grid cells (computed by the caller in
+    the CHUNK-START origin frame, scanmatch.window_origin).  Returns
+    (grids [B, prows, pcols], snaps i8 [B, K, win_rows+8, 2*win_cols]);
+    the [win_rows, win_cols] match window sits at (wy0 - r0s, wx0 - c0s)
+    inside its slab (_snap_align).  ONE launch replaces the per-chunk
+    launch scan of the SLAM pass 1."""
+    from micro_quad_slam_tpu.ops.pallas_resident import _check_vmem_fit
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _check_vmem_fit(geom)
+    return _map_snap_jit(grids, beams, x, y, yaw_deg, ox, oy, do, rsy,
+                         rsx, wy0, wx0, n_kf, cfg, geom, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(12, 13, 14, 15))
+def _map_snap_jit(grids, beams, x, y, yaw_deg, ox, oy, do, rsy, rsx,
+                  wy0, wx0, n_kf: int, cfg: PipelineConfig,
+                  geom: GridGeom, interpret: bool):
+    B, K = x.shape
+    assert K % n_kf == 0, (K, n_kf)
+    sh = lambda a: jnp.moveaxis(a, 0, 1)                 # [B, K] -> [K, B]
+    en = jnp.ones((K, B), bool)
+    args = [sh(beams), sh(x), sh(y), sh(yaw_deg), sh(ox), sh(oy), en,
+            sh(do) != 0, sh(rsy).astype(jnp.int32),
+            sh(rsx).astype(jnp.int32)]
+    aux, words = _pack_words_x(*args, cfg.map, cfg.tof, geom, F=n_kf)
+    # append per-slot snapshot-slab origins to the aux words (kernel
+    # lanes 8F+8 .. 10F+7)
+    r0s, c0s = _snap_align(sh(wy0).astype(jnp.int32),
+                           sh(wx0).astype(jnp.int32), geom)
+    g = K // n_kf
+    sn = jnp.stack([r0s, c0s], axis=-1)                  # [K, B, 2]
+    sn = jnp.moveaxis(sn.reshape(g, n_kf, B, 2), 1, 2).reshape(g, B,
+                                                               2 * n_kf)
+    aux = jnp.concatenate([aux, sn[:, :, None, :]], axis=-1)
+
+    sr, sc = _snap_dims(geom)
+    kernel = functools.partial(_residentx_snap_kernel, geom=geom,
+                               cfg=cfg.map, ng=g, F=n_kf)
+    grid_out, snaps = pl.pallas_call(
+        kernel,
+        grid=(B, g),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 10 * n_kf + 8),
+                         lambda b, t: (t, b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_kf, 32, 128),
+                         lambda b, t: (t, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct(grids.shape, jnp.int8),
+                   jax.ShapeDtypeStruct((B, K, sr, sc), jnp.int8)],
+        scratch_shapes=[
+            pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
+            pltpu.VMEM((geom.win_rows, 2 * geom.win_cols), jnp.int8),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(aux, words, grids)
+    return grid_out, snaps
 
 
 # ----------------------------------------------------------------------

@@ -129,8 +129,13 @@ def _score_lattice(window, wy0, wx0, beams, x_guess, y_guess,
     inx = (cx >= 0) & (cx < cfg.width)
     ry = cy + geom.pad - wy0                                   # [Y, 32, Ty]
     rx = cx + geom.pad - wx0                                   # [Y, 32, Tx]
-    rows = jnp.arange(geom.win_rows)
-    cols = jnp.arange(geom.win_cols)
+    # window extent from the ARRAY, not the geom: the SLAM pass-1 kernel
+    # emits [win_rows+8, 2*win_cols] snapshot slabs that are scored
+    # directly (every in-grid candidate cell provably falls inside the
+    # [96, 128] match window, which the slab covers — so slab scoring is
+    # bit-equal to window scoring while skipping the slicing stage)
+    rows = jnp.arange(window.shape[-2])
+    cols = jnp.arange(window.shape[-1])
     R = ((ry[..., None] == rows) & iny[..., None]
          & hit[:, :, None, None]).astype(jnp.bfloat16)   # [Y, 32, Ty, 96]
     Cc = ((rx[..., None] == cols)
@@ -162,6 +167,18 @@ def _window_by_matmul(padded_grid, wy0, wx0, geom: GridGeom):
                         preferred_element_type=jnp.float32)
     return lax.dot_general(G.astype(bf), Ct, (((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32)
+
+
+def window_origin(pcx, pcy, geom: GridGeom = DEFAULT_GEOM):
+    """Padded-grid top-left cell (wy0, wx0) of the [win_rows, win_cols]
+    match window centered on pose cell (pcx, pcy) — the ONE definition
+    shared by match_scan and the SLAM pass-1 snapshot kernel (their
+    window contents must be bit-equal)."""
+    wy0 = jnp.clip(pcy + geom.pad - geom.win_rows // 2, 0,
+                   geom.prows - geom.win_rows)
+    wx0 = jnp.clip(pcx + geom.pad - geom.win_cols // 2, 0,
+                   geom.pcols - geom.win_cols)
+    return wy0, wx0
 
 
 def match_window(window: jnp.ndarray, wy0, wx0, beams,
@@ -204,10 +221,7 @@ def match_scan(
     """
     pcx, pcy = world_to_cell(x_guess, y_guess, origin_x, origin_y,
                              cfg.res_m, cfg.width // 2, cfg.height // 2)
-    wy0 = jnp.clip(pcy + geom.pad - geom.win_rows // 2, 0,
-                   geom.prows - geom.win_rows)
-    wx0 = jnp.clip(pcx + geom.pad - geom.win_cols // 2, 0,
-                   geom.pcols - geom.win_cols)
+    wy0, wx0 = window_origin(pcx, pcy, geom)
     window = _window_by_matmul(padded_grid, wy0, wx0, geom)
     scores, hit = _score_lattice(window, wy0, wx0, beams, x_guess,
                                  y_guess, yaw_guess_deg, origin_x,
