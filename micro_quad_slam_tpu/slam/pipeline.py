@@ -336,7 +336,7 @@ def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
     from micro_quad_slam_tpu.ops.pallas_residentx import (
         _snap_align, pallas_map_snap)
     from micro_quad_slam_tpu.ops.raycast import world_to_cell
-    from micro_quad_slam_tpu.ops.scanmatch import match_window, window_origin
+    from micro_quad_slam_tpu.ops.scanmatch import match_slabs, window_origin
 
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
@@ -442,13 +442,20 @@ def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
             geom)
         grids = _recenter_grids(grids, tail["do"], tail["rsy"],
                                 tail["rsx"], cfg, geom)
+        # score the slabs in ONE pallas matcher launch (VMEM-resident
+        # one-hot matmuls, ops/pallas_scanmatch.py): the XLA matcher
+        # materialized ~1.5 MB of intermediates per match in HBM and ran
+        # memory-bound (~15 ms/round at the VERDICT workload); bit-equal
+        # (test_pallas_match_lattice_matches_xla)
         r0s, c0s = _snap_align(wy0, wx0, geom)
-        res = jax.vmap(jax.vmap(
-            lambda w, y0, x0, bm, xx, yy, ww, ssx, ssy: match_window(
-                w, y0, x0, bm, xx, yy, ww, ssx, ssy, cfg.map, cfg.tof,
-                geom, s.match_n_xy, s.match_n_yaw, s.match_xy_step_m,
-                s.match_yaw_step_deg)
-        ))(snaps, r0s, c0s, kf_beams, kf_x, kf_y, kf_yaw, sox, soy)
+        fl = lambda a: a.reshape((B * K_p,) + a.shape[2:])
+        res = match_slabs(
+            fl(snaps), fl(r0s), fl(c0s), fl(kf_beams), fl(kf_x),
+            fl(kf_y), fl(kf_yaw), fl(sox), fl(soy), cfg.map, cfg.tof,
+            geom, s.match_n_xy, s.match_n_yaw, s.match_xy_step_m,
+            s.match_yaw_step_deg)
+        res = jax.tree_util.tree_map(
+            lambda a: a.reshape(B, K_p), res)
         ok = res.quality > _F32(s.match_min_quality)
         return (grids, jnp.where(ok, res.x, kf_x),
                 jnp.where(ok, res.y, kf_y),
@@ -686,24 +693,26 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     if upto == 0:
         return odo, sched
 
-    # pass 1: scan-matched mapping.  Default (feedback-free keyframe
-    # match map): a match-free chunk scan builds the snapshot grids —
-    # resident-kernel launches on TPU, XLA window updates elsewhere —
-    # then every keyframe matches in one flat batch (_map_pass_nofb).
-    # The feedback formulation (match corrections land on the match map)
-    # keeps the keyframe-chunked TPU path / sequential scan pair.
-    if cfg.slam.match_map_kf_only and not cfg.slam.match_feedback:
-        _, matched = _map_pass_nofb(beams, odo, cfg, geom, kf_every,
-                                    sched, grid0=grid0)
-    elif jax.default_backend() == "tpu":
-        _, matched = _map_pass_chunked(beams, odo, cfg, geom, kf_every,
-                                       sched, grid0=grid0)
-    else:
-        _, matched = _map_pass(
-            beams, odo, cfg, geom, True, kf_mask, sched, grid0=grid0,
-            snap_mask_t=snap_mask,
-            update_mask_t=kf_mask if cfg.slam.match_map_kf_only else None)
-    if upto == 1:
+    def pass1(est):
+        """Pass 1 at pose estimates `est`: scan-matched mapping.  Default
+        (feedback-free keyframe match map): a match-free chunk scan
+        builds the snapshot grids — resident-kernel launches on TPU, XLA
+        window updates elsewhere — then every keyframe matches in one
+        flat batch (_map_pass_nofb).  The feedback formulation (match
+        corrections land on the match map) keeps the keyframe-chunked
+        TPU path / sequential scan pair."""
+        if cfg.slam.match_map_kf_only and not cfg.slam.match_feedback:
+            _, matched = _map_pass_nofb(beams, est, cfg, geom, kf_every,
+                                        sched, grid0=grid0)
+        elif jax.default_backend() == "tpu":
+            _, matched = _map_pass_chunked(beams, est, cfg, geom,
+                                           kf_every, sched, grid0=grid0)
+        else:
+            _, matched = _map_pass(
+                beams, est, cfg, geom, True, kf_mask, sched, grid0=grid0,
+                snap_mask_t=snap_mask,
+                update_mask_t=(kf_mask if cfg.slam.match_map_kf_only
+                               else None))
         return matched
 
     # pass 1b: REAL loop closure — proximity-gated keyframe-to-keyframe
@@ -719,8 +728,7 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     kf_ox = sched["ox"][:, kf_idx]                      # [B, K]
     kf_oy = sched["oy"][:, kf_idx]
 
-    def loop_edges(matched_b, kf_beams_b, ox_k, oy_k):
-        kf_pose = matched_b[kf_idx]                     # [K, 3]
+    def loop_edges(kf_pose, kf_beams_b, ox_k, oy_k):
         pos = kf_pose[:, :2]
         d2 = jnp.sum((pos[None, :, :] - pos[:, None, :]) ** 2, -1)  # [i, j]
         iidx = jnp.arange(K)
@@ -778,53 +786,134 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
             pj_corr = jnp.stack([res.x, res.y,
                                  jnp.deg2rad(res.yaw_deg)])
             z = se2_relative(pi, pj_corr)
-            return z, ok & (res.quality > _F32(s.loop_min_quality))
+            return (z, ok & (res.quality > _F32(s.loop_min_quality)),
+                    res.quality)
 
-        # SlamConfig.loop_edges nearest older candidates per keyframe
-        # (default 1).  Edge e+1 takes the next-nearest candidate under
-        # the same gap/radius/quality gates — denser constraints for
-        # flights that revisit a place more than once.
-        ijs, zs, oks = [], [], []
-        for _ in range(max(int(s.loop_edges), 1)):
+        # SlamConfig.loop_cand nearest older candidates per keyframe are
+        # all MATCHED; the loop_edges best BY MATCH QUALITY become edges
+        # (round 4: proximity picks the candidate to try, quality picks
+        # the edges to trust — a near-but-featureless revisit no longer
+        # crowds out a sharper slightly-farther one)
+        n_edges = max(int(s.loop_edges), 1)
+        n_cand = max(int(s.loop_cand), n_edges)
+
+        def cand_round(cand, _):
+            # lax.scan (not a python loop): the matcher graph is large
+            # and n_cand unrolled copies ballooned CPU compile time
             i_best = jnp.argmin(cand, axis=0)               # [K] per j
             near = cand[i_best, iidx] < _F32(s.loop_r_max_m) ** 2
-            z, ok = jax.vmap(measure)(i_best, iidx, near)
-            ijs.append(jnp.stack([i_best.astype(jnp.int32),
-                                  iidx.astype(jnp.int32)], axis=-1))
-            zs.append(z)
-            oks.append(ok)
+            z, ok, q = jax.vmap(measure)(i_best, iidx, near)
             cand = jnp.where(jnp.arange(K)[:, None] == i_best[None, :],
                              jnp.inf, cand)
+            return cand, (i_best.astype(jnp.int32), z,
+                          jnp.where(ok, q, -jnp.inf))
+
+        _, (ic, zc, qc) = lax.scan(cand_round, cand, None, length=n_cand)
+        # ic [n_cand, K]; zc [n_cand, K, 3]; qc [n_cand, K]
+        ijs, zs, oks, qs = [], [], [], []
+        carange = jnp.arange(n_cand)[:, None]
+        for _ in range(n_edges):
+            sel = jnp.argmax(qc, axis=0)                    # [K] per j
+            pick = (carange == sel[None, :])                # [n_cand, K]
+            ijs.append(jnp.stack(
+                [jnp.where(pick, ic, 0).sum(0), iidx.astype(jnp.int32)],
+                axis=-1))
+            zs.append(jnp.where(pick[..., None], zc, 0.0).sum(0))
+            qbest = jnp.where(pick, qc, -jnp.inf).max(0)
+            oks.append(jnp.isfinite(qbest))
+            qs.append(jnp.where(jnp.isfinite(qbest), qbest, 0.0))
+            qc = jnp.where(pick, -jnp.inf, qc)
         return (jnp.concatenate(ijs), jnp.concatenate(zs),
-                jnp.concatenate(oks))
+                jnp.concatenate(oks), jnp.concatenate(qs))
 
-    loop_ij, loop_z, loop_ok = jax.vmap(loop_edges)(matched, kf_beams,
-                                                    kf_ox, kf_oy)
-    if upto == 2:
-        return matched, loop_ij, loop_z, loop_ok
+    run_loop = lambda kfp: jax.vmap(loop_edges)(kfp, kf_beams, kf_ox,
+                                                kf_oy)
 
-    # pass 2: pose graph = odometry edges + match anchors + loop edges
-    def build_and_solve(odo_b, matched_b, lij, lz, lok):
+    # pass 2: pose graph = odometry edges + match anchors + loop edges.
+    # Loop edges enter with quality-scaled information and a Huber
+    # robust loss (IRLS in gauss_newton) so a bad edge that clears the
+    # accept gate degrades gracefully instead of being fully trusted.
+    def build_and_solve(odo_b, matched_b, lij, lz, lok, lq, sc_b):
         g = chain_odometry_graph(odo_b, kf_idx, s.odo_w)
+        # per-flight odometry scale (SlamConfig.odo_scale_*): the fitted
+        # flow-gain correction rescales the odometry edge translations
+        g = g._replace(edges_z=g.edges_z * jnp.stack(
+            [sc_b, sc_b, jnp.float32(1.0)]))
         anchors = se2_relative(matched_b[kf_idx][0][None].repeat(K - 1, 0),
                                matched_b[kf_idx][1:])
         ij = jnp.stack([jnp.zeros(K - 1, jnp.int32),
                         jnp.arange(1, K, dtype=jnp.int32)], axis=-1)
         g = add_edges(g, ij, anchors, s.anchor_w)
-        g = add_edges(g, lij, lz, s.loop_w, mask=lok)
+        qsc = jnp.clip(lq / _F32(s.loop_q_ref), _F32(s.loop_q_min),
+                       _F32(s.loop_q_max))
+        g = add_edges(g, lij, lz,
+                      jnp.asarray(s.loop_w, jnp.float32)[None] *
+                      qsc[:, None],
+                      mask=lok, huber=s.loop_huber)
         g = g._replace(nodes=g.nodes.at[0].set(matched_b[kf_idx][0]))
         g, costs = gauss_newton(g, iters=gn_iters)
         return g.nodes, costs
 
-    kf_nodes, gn_costs = jax.vmap(build_and_solve)(odo, matched, loop_ij,
-                                                   loop_z, loop_ok)
-    if upto == 3:
-        return kf_nodes, gn_costs
-
-    # correct all frames rigidly relative to their owning keyframe
+    # OUTER global rounds (SlamConfig.slam_outer): pass 1's match map is
+    # distorted by the very drift it corrects; rebuilding it at the
+    # loop-consistent SOLVED track removes the distortion, so round-2
+    # matches pin mid-track absolute drift the loop edges alone cannot
+    # reach.  upto truncations apply within the LAST round (earlier
+    # rounds must complete to produce the estimate the final round
+    # consumes).
     owner = jnp.clip(jnp.arange(T) // kf_every, 0, K - 1)
     rel = se2_relative(odo[:, kf_idx][:, owner], odo)       # [B, T, 3]
-    track = se2_compose(kf_nodes[:, owner], rel)
+    odo_kf_d = jnp.linalg.norm(jnp.diff(odo[:, kf_idx, :2], axis=1),
+                               axis=-1)                     # [B, K-1]
+    est = odo
+    sc = jnp.ones((B,), jnp.float32)
+    n_outer = max(int(s.slam_outer), 1)
+    for rnd in range(n_outer):
+        last = rnd == n_outer - 1
+        matched = pass1(est)
+        if last and upto == 1:
+            return matched
+        loop_ij, loop_z, loop_ok, loop_q = run_loop(matched[:, kf_idx])
+        if last and upto == 2:
+            return matched, loop_ij, loop_z, loop_ok
+
+        solve = lambda lij, lz, lok, lq, m=matched, c=sc: jax.vmap(
+            build_and_solve)(odo, m, lij, lz, lok, lq, c)
+        kf_nodes, gn_costs = solve(loop_ij, loop_z, loop_ok, loop_q)
+        # refine rounds: the solved keyframe poses are better guesses
+        # (and better raster poses) than pass 1's — re-run the loop
+        # stage at the solved nodes and re-solve.  Matches that failed
+        # or mis-peaked at drift-distorted guesses land on the second
+        # try.  lax.scan: one compiled copy of the (large) loop-stage
+        # graph regardless of rounds.
+        n_ref = max(int(s.loop_refine), 0)
+        if n_ref:
+            def refine(carry, _):
+                kf_nodes, _ = carry
+                lij, lz, lok, lq = run_loop(kf_nodes)
+                return solve(lij, lz, lok, lq), None
+            (kf_nodes, gn_costs), _ = lax.scan(
+                refine, (kf_nodes, gn_costs), None, length=n_ref)
+        if last and upto == 3:
+            return kf_nodes, gn_costs
+
+        # re-fit the per-flight odometry scale from the solved keyframe
+        # step lengths (LS through the origin over |step| pairs,
+        # rotation-invariant), for this round's composition and the next
+        # round's odometry edges
+        sol_kf_d = jnp.linalg.norm(jnp.diff(kf_nodes[..., :2], axis=1),
+                                   axis=-1)                 # [B, K-1]
+        sc = jnp.clip(
+            jnp.sum(odo_kf_d * sol_kf_d, axis=1)
+            / jnp.maximum(jnp.sum(odo_kf_d * odo_kf_d, axis=1), 1e-9),
+            _F32(s.odo_scale_min), _F32(s.odo_scale_max))
+
+        # correct all frames rigidly relative to their owning keyframe
+        # (intra-interval translations carry the fitted scale)
+        rel_sc = rel * jnp.stack(
+            [sc, sc, jnp.ones_like(sc)], axis=-1)[:, None, :]
+        track = se2_compose(kf_nodes[:, owner], rel_sc)
+        est = track
     if upto == 4:
         return track
 

@@ -273,9 +273,59 @@ class SlamConfig:
     # tail err 3.06 -> 2.64 cm (drift 1.06) and 11.18 -> 9.93 cm
     # (drift 1.12) vs one edge, at K extra matches per flight.
     loop_edges: int = 2
+    # robust loop closure (round 4, VERDICT ask 1):
+    # candidates per keyframe actually MATCHED (nearest-older within
+    # loop_r_max_m); the loop_edges best BY MATCH QUALITY become edges —
+    # quality-ranked selection instead of pure proximity order
+    loop_cand: int = 3
+    # Huber delta on the information-weighted loop residual norm
+    # (posegraph.PoseGraph.edges_huber; 0 disables).  At loop_w=(60,..)
+    # a delta of 1.0 soft-limits edges disagreeing by more than ~13 cm.
+    loop_huber: float = 1.0
+    # loop-edge information scales with match quality:
+    # w_e = loop_w * clip(quality / loop_q_ref, loop_q_min, loop_q_max)
+    # — a barely-above-gate match carries a fraction of the confidence
+    # of a sharp revisit peak
+    # (measured on the fig-8 drift suite: scaling below/above full
+    # weight cost wall IoU 0.876 -> 0.821 with the full round-4 stack,
+    # so the default clip pins scale = 1; the knob stays for field maps
+    # with genuinely mixed-quality revisits)
+    loop_q_ref: float = 1.5
+    loop_q_min: float = 1.0
+    loop_q_max: float = 1.0
+    # re-match rounds at SOLVED poses: after the Gauss-Newton solve the
+    # loop stage runs again with the solved keyframe poses as guesses
+    # (better guesses -> matches that failed or mis-peaked at odometry
+    # guesses land), and the graph is rebuilt and re-solved.  0 = off.
+    loop_refine: int = 3
+    # OUTER global rounds: after a full (pass 1 -> loops -> graph) solve,
+    # rebuild the pass-1 match map at the SOLVED track and repeat.  At
+    # high drift pass 1 matches against a map distorted by the very
+    # drift it is correcting and OVERCORRECTS (measured: 13.5 cm tail vs
+    # 11.4 cm raw at 12% flow bias with loops off); a map built at the
+    # loop-consistent solved track removes that distortion, so round-2
+    # matches pin the mid-track absolute drift the loop edges alone
+    # cannot reach.  1 = single-pass (rounds 1-3 behavior).
+    slam_outer: int = 3
+    # Per-flight odometry SCALE estimation between outer rounds: flow
+    # odometry fails with a multiplicative gain error (the reference's
+    # own flow-calibration weakness, BASELINE.md), which bends the whole
+    # track — loop edges only pin revisit pairs.  After each solve the
+    # scale is re-fit by least squares over keyframe step LENGTHS
+    # (|solved step| ~ s * |odo step|, rotation-invariant) and applied
+    # to the next round's odometry edge measurements and the rigid
+    # intra-keyframe-interval composition.  Clipped to [min, max];
+    # 1.0/1.0 disables.
+    odo_scale_min: float = 0.8
+    odo_scale_max: float = 1.25
     odo_w: tuple = (100.0, 100.0, 400.0)
-    anchor_w: tuple = (30.0, 30.0, 120.0)
-    loop_w: tuple = (60.0, 60.0, 240.0)
+    # round-4 rebalance (measured, tools/tune_loop.py): pass-1 anchors
+    # encode the drift-distorted match map and OVERCORRECT at high
+    # drift — weak anchors + strong loop edges took the fig-8 @12%
+    # suite from 9.93 cm / IoU 0.671 to 2.98 cm / IoU 0.876 (with
+    # loop_refine=3, slam_outer=3 and the odometry scale fit)
+    anchor_w: tuple = (10.0, 10.0, 40.0)
+    loop_w: tuple = (120.0, 120.0, 480.0)
     # recenter the SLAM grid when the pose strays past the map threshold,
     # exactly like the mapping replay (uav_local_nav.c:308-353); the
     # schedule is decided grid-free from the odometry track

@@ -189,6 +189,63 @@ def test_score_lattice_matches_bruteforce():
         np.testing.assert_array_equal(np.asarray(got), want, err_msg=f"trial {trial}")
 
 
+def test_pallas_match_lattice_matches_xla():
+    """The pallas lattice-matcher kernel (ops/pallas_scanmatch.py;
+    interpret mode on CPU, on-hardware twin in tools/check_all_tpu.py)
+    must be BIT-equal to vmapped match_window over the [96, 128]
+    windows its slabs cover — same one-hot masks, f32-exact integer
+    sums in either accumulation order."""
+    from micro_quad_slam_tpu.ops.pallas_residentx import _snap_align
+    from micro_quad_slam_tpu.ops.scanmatch import (match_slabs,
+                                                   match_window,
+                                                   window_origin)
+
+    cfg, tof = UL_PROFILE.map, UL_PROFILE.tof
+    rng = np.random.default_rng(23)
+    N = 24
+    padded = rng.integers(-80, 81, (N, GEOM.prows, GEOM.pcols)).astype(
+        np.int8)
+    ox = np.zeros(N, np.float32)
+    oy = np.zeros(N, np.float32)
+    # poses: mostly interior, some near the grid edge so out-of-grid
+    # masking and window clipping fire
+    xg = rng.uniform(-8, 8, N).astype(np.float32)
+    xg[-6:] = rng.uniform(21.0, 24.5, 6).astype(np.float32)
+    yg = rng.uniform(-8, 8, N).astype(np.float32)
+    yg[-3:] = rng.uniform(-24.5, -21.0, 3).astype(np.float32)
+    yawg = rng.uniform(-180, 180, N).astype(np.float32)
+    beams = rng.uniform(0.1, 4.0, (N, 4, 8)).astype(np.float32)
+    beams[rng.random((N, 4, 8)) < 0.1] = np.nan
+
+    from micro_quad_slam_tpu.ops.raycast import world_to_cell
+    pcx, pcy = world_to_cell(jnp.asarray(xg), jnp.asarray(yg),
+                             jnp.asarray(ox), jnp.asarray(oy),
+                             cfg.res_m, cfg.width // 2, cfg.height // 2)
+    wy0, wx0 = window_origin(pcx, pcy, GEOM)
+    r0s, c0s = _snap_align(wy0, wx0, GEOM)
+    sr, sc = GEOM.win_rows + 8, 2 * GEOM.win_cols
+    slabs = np.stack([padded[i, int(r0s[i]):int(r0s[i]) + sr,
+                             int(c0s[i]):int(c0s[i]) + sc]
+                      for i in range(N)])
+    wins = np.stack([padded[i, int(wy0[i]):int(wy0[i]) + GEOM.win_rows,
+                            int(wx0[i]):int(wx0[i]) + GEOM.win_cols]
+                     for i in range(N)])
+
+    want = jax.jit(jax.vmap(
+        lambda w, y0, x0, bm, xi, yi, wi, oxi, oyi: match_window(
+            w, y0, x0, bm, xi, yi, wi, oxi, oyi, cfg, tof, GEOM)
+    ))(jnp.asarray(wins), wy0, wx0, jnp.asarray(beams),
+       jnp.asarray(xg), jnp.asarray(yg), jnp.asarray(yawg),
+       jnp.asarray(ox), jnp.asarray(oy))
+    got = jax.jit(lambda *a: match_slabs(*a, cfg, tof, GEOM))(
+        jnp.asarray(slabs), r0s, c0s, jnp.asarray(beams),
+        jnp.asarray(xg), jnp.asarray(yg), jnp.asarray(yawg),
+        jnp.asarray(ox), jnp.asarray(oy))
+    for a, b, name in zip(got, want, got._fields):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_scanmatch_recovers_translation():
     offset = (0.12, -0.08)
     padded, beams = _wall_grid_and_beams(offset)
@@ -293,7 +350,8 @@ def test_slam_fig8_loop_closure_fires_and_corrects():
                                 float(res.origin[1][0]), room)
     iou_odo = map_iou_vs_walls(g_odo, float(oox[0]), float(ooy[0]), room)
     assert iou_slam > iou_odo, (iou_slam, iou_odo)
-    assert iou_slam >= 0.8, iou_slam
+    # round-4 stack measured 0.993 here; 0.9 leaves platform slack
+    assert iou_slam >= 0.9, iou_slam
 
     # the loop edges must actually FIRE: the revisit candidates' match
     # quality against single-keyframe endpoint fields runs ~0.8-2.0, and
@@ -305,13 +363,17 @@ def test_slam_fig8_loop_closure_fires_and_corrects():
     assert int(np.asarray(lok).sum()) >= 1, "no loop edge accepted"
 
 
-def test_slam_fig8_high_drift_not_worse_than_odometry():
-    """At ~12% flow-scale drift the pass-1 match map is itself
-    drift-distorted and matching alone OVERCORRECTS (measured: 13.5 cm
-    tail err vs 11.4 cm raw odometry with loop edges gated off) — the
-    accepted loop edges must keep the solved track at least as good as
-    odometry and the map strictly better."""
+def test_slam_fig8_high_drift_absolute_accuracy():
+    """At ~12% flow-scale drift the solved track must meet ABSOLUTE
+    bars — tail error <= 5 cm and wall IoU >= 0.85 (VERDICT round 3,
+    ask 1; the old bar only demanded <= odo * 1.02).  The round-4 stack
+    that earns this: loop-edge Huber + refine rounds at solved poses,
+    weak anchors / strong loop edges, outer global rounds rebuilding the
+    pass-1 match map at the solved track, and the per-flight odometry
+    scale fit (raw odometry: 11.4 cm tail, wall IoU ~0.50; solved:
+    ~3.0 cm / 0.876 measured)."""
     from micro_quad_slam_tpu.utils.obs import map_iou_vs_walls
+    from micro_quad_slam_tpu.ops.raycast import logical_grid
 
     room = (-2.5, -2.5, 2.5, 2.5)
     log = synth_room_scanlog(n_frames=160, path="fig8", path_radius_m=1.4,
@@ -323,10 +385,12 @@ def test_slam_fig8_high_drift_not_worse_than_odometry():
     res = slam_replay(frames, UL_PROFILE, GEOM, 10, 8)
 
     truth = np.stack([log.x_m, log.y_m], -1)
-    odo_err = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - truth).T)
     slam_err = np.hypot(*(np.asarray(res.track)[0, :, :2] - truth).T)
-    assert slam_err[-20:].mean() <= odo_err[-20:].mean() * 1.02, (
-        odo_err[-20:].mean(), slam_err[-20:].mean())
+    assert slam_err[-20:].mean() <= 0.05, slam_err[-20:].mean()
+    g = np.asarray(logical_grid(res.grid))[0]
+    iou = map_iou_vs_walls(g, float(res.origin[0][0]),
+                           float(res.origin[1][0]), room)
+    assert iou >= 0.85, iou
 
     from micro_quad_slam_tpu.slam.pipeline import _map_pass
     from micro_quad_slam_tpu.ops.beams import extract_beams
