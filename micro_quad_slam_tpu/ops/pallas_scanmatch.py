@@ -1,0 +1,94 @@
+"""Pallas lattice-matcher kernel: score the correlative scan-match
+lattice against snapshot slabs with VMEM-resident one-hot matmuls.
+
+Why: the XLA `_score_lattice` materializes ~1.5 MB of one-hot / selected
+intermediates PER MATCH in HBM (R [Y,32,Ty,96] bf16 + T1 [Y,32,Ty,128]
+f32 + Cc), so the SLAM pass-1 flat match batch (3584 matches at the
+VERDICT workload) moves ~5 GB per round and runs memory-bound (~15 ms
+measured on v5e).  In-kernel, the same matmuls stay in VMEM: per match
+~90 MFLOP of bf16 MXU work and 26 KB of slab input.
+
+Math (bit-exact vs `_score_lattice`, same masks, f32 accumulation of
+small exact integers):
+
+    score[Y, ty, tx] = sum_b W[ry(Y,b,ty), rx(Y,b,tx)]
+
+with invalid (out-of-grid / no-hit) endpoints masked to index -1 (their
+one-hot row/lane is all-zero, contributing 0 — identical to the XLA
+side's folded masks).  Two dots:
+
+    R  [Y*Ty*32, SR] one-hot of ry     (rows ordered (Y, ty, b))
+    T1 = R @ W                          -> [Y*Ty*32, SC] f32 (= int8 vals)
+    T1r = T1 reshaped [Y, Ty, 32*SC]    (trailing merge — supported)
+    C3 [Y, Tx, 32*SC] one-hot of rx     (lane j = b*SC + c)
+    S  = batched_dot(T1r, C3)           -> [Y, Ty, Tx] f32
+
+Every summand is an int8 grid value selected by a one-hot (bf16-exact),
+and a score sums <= 32 of them (|sum| <= 4064), so ANY accumulation
+order yields the identical f32 integer — MXU joint (b, c) reduction is
+bit-equal to the XLA per-b-then-sum order.  Verified on random data
+against a numpy gather scorer during bring-up and regression-locked by
+tests/test_slam.py::test_pallas_match_lattice_matches_xla.
+
+Reference context: the matcher itself is a new capability (the
+reference dead-reckons, uav_local_nav.c:1168-1196); the lattice
+semantics mirror ops/scanmatch.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _match_kernel(ry_ref, rx_ref, slab_ref, o_ref, *, Y: int, TY: int,
+                  TX: int, NB: int, SR: int, SC: int):
+    W = slab_ref[0].astype(jnp.int32).astype(jnp.float32).astype(
+        jnp.bfloat16)                                    # [SR, SC]
+    ry = ry_ref[0]                                       # [Y*TY, NB] i32
+    iota_r = lax.broadcasted_iota(jnp.int32, (Y * TY, NB, SR), 2)
+    R = (ry[:, :, None] == iota_r).astype(jnp.bfloat16).reshape(
+        Y * TY * NB, SR)
+    T1 = lax.dot_general(R, W, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    T1r = T1.reshape(Y * TY, NB, SC).astype(jnp.bfloat16).reshape(
+        Y, TY, NB * SC)
+    rx = rx_ref[0]                                       # [Y*TX, NB] i32
+    iota_c = lax.broadcasted_iota(jnp.int32, (Y * TX, NB, SC), 2)
+    C3 = (rx[:, :, None] == iota_c).astype(jnp.bfloat16).reshape(
+        Y, TX, NB * SC)
+    o_ref[0] = lax.dot_general(T1r, C3, (((2,), (2,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def pallas_match_lattice(slabs, ryw, rxw, n_yaw: int,
+                         interpret: bool | None = None):
+    """slabs i8 [N, SR, SC]; ryw/rxw i32 [N, n_yaw*T, 32] slab-relative
+    endpoint rows/cols per (yaw, translation-candidate, beam), -1 where
+    masked (out-of-grid or no hit).  Returns scores f32
+    [N, n_yaw, Ty, Tx] (ty = row-candidate axis, tx = column-candidate
+    axis — callers wanting _peak_result's [Y, Tx, Ty] transpose)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    N, SR, SC = slabs.shape
+    YT = ryw.shape[1]
+    T = YT // n_yaw
+    NB = ryw.shape[2]
+    kernel = functools.partial(_match_kernel, Y=n_yaw, TY=T, TX=T,
+                               NB=NB, SR=SR, SC=SC)
+    return pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, YT, NB), lambda n: (n, 0, 0)),
+                  pl.BlockSpec((1, YT, NB), lambda n: (n, 0, 0)),
+                  pl.BlockSpec((1, SR, SC), lambda n: (n, 0, 0))],
+        out_specs=pl.BlockSpec((1, n_yaw, T, T), lambda n: (n, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, n_yaw, T, T), jnp.float32),
+        interpret=interpret,
+    )(ryw, rxw, slabs)

@@ -81,6 +81,38 @@ def _endpoints_world(beams, x, y, yaw_deg, tof: TofConfig):
             hit.reshape(32))
 
 
+def _lattice_cells(beams, x_guess, y_guess, yaw_guess_deg, origin_x,
+                   origin_y, cfg: MapConfig, tof: TofConfig,
+                   n_xy: int, n_yaw: int, xy_step_m: float,
+                   yaw_step_deg: float):
+    """Candidate endpoint CELLS for the (n_yaw, n_xy, n_xy) lattice —
+    the ONE index definition shared by the XLA scorer (`_score_lattice`)
+    and the pallas matcher kernel (their scores must be bit-equal).
+    Returns (cy [Y, 32, Ty], cx [Y, 32, Tx], iny, inx, hit [Y, 32])."""
+    offs_xy = (np.arange(n_xy, dtype=np.float32)
+               - (n_xy - 1) / 2) * _F32(xy_step_m)
+    offs_yaw = (np.arange(n_yaw, dtype=np.float32)
+                - (n_yaw - 1) / 2) * _F32(yaw_step_deg)
+
+    def yaw_endpoints(dyaw):
+        return _endpoints_world(beams, x_guess, y_guess,
+                                yaw_guess_deg + dyaw, tof)
+
+    # vmap, NOT lax.map: the yaw axis is tiny and static, and lax.map
+    # compiles to a sequential scan — 7 serialized endpoint computations
+    # per match added measurable latency at 26 matches per flight
+    import jax as _jax
+    pts, hit = _jax.vmap(yaw_endpoints)(jnp.asarray(offs_yaw))  # [Y, 32, 2]
+
+    ex = pts[..., 0][:, :, None] + offs_xy[None, None, :]      # [Y, 32, Tx]
+    ey = pts[..., 1][:, :, None] + offs_xy[None, None, :]      # [Y, 32, Ty]
+    cx, cy = world_to_cell(ex, ey, origin_x, origin_y, cfg.res_m,
+                           cfg.width // 2, cfg.height // 2)
+    iny = (cy >= 0) & (cy < cfg.height)
+    inx = (cx >= 0) & (cx < cfg.width)
+    return cy, cx, iny, inx, hit
+
+
 def _score_lattice(window, wy0, wx0, beams, x_guess, y_guess,
                    yaw_guess_deg, origin_x, origin_y,
                    cfg: MapConfig, tof: TofConfig, geom: GridGeom,
@@ -91,42 +123,26 @@ def _score_lattice(window, wy0, wx0, beams, x_guess, y_guess,
     Returns (scores [Y, Tx, Ty] f32, hit [Y, 32] bool).  Lookups are
     one-hot matmuls (exact: one-hot selectors and int8 values are
     bf16-representable); cells outside the window or the logical grid
-    contribute 0."""
+    contribute 0.
+
+    SEPARABLE lattice: the world offsets shift x and y independently,
+    so the endpoint column index rx varies only over (Y, Tx, beam) and
+    the row index ry only over (Y, Ty, beam) — the [Y*Tx*Ty*32, win]
+    one-hot batch of the round-2 formulation factors into two small
+    per-(Y, beam) matmuls.  ~7x fewer MXU FLOPs, and the largest
+    intermediate shrinks from [N=10976, 128] f32 per match (which
+    OOMed the flat SLAM keyframe-match batch at B=128 on a 16 GB
+    chip) to [Y, 32, Ty, 128].  Per-entry values are identical: each
+    output cell of BOTH dots sums exactly one nonzero product in f32
+    (one-hot selectors; int8 grid values are bf16-representable), and
+    the beam reduction keeps the same axis order as before.  Each side
+    folds its own in-grid test (and the row side the hit mask) into its
+    one-hot: the product is zero unless BOTH cell axes are in the
+    logical grid and the beam hit."""
     _assert_window_fits(cfg, geom, n_xy, xy_step_m)
-    offs_xy = (np.arange(n_xy, dtype=np.float32) - (n_xy - 1) / 2) * _F32(xy_step_m)
-    offs_yaw = (np.arange(n_yaw, dtype=np.float32) - (n_yaw - 1) / 2) * _F32(yaw_step_deg)
-
-    def yaw_endpoints(dyaw):
-        return _endpoints_world(beams, x_guess, y_guess,
-                                yaw_guess_deg + dyaw, tof)
-
-    # vmap, NOT lax.map: the yaw axis is tiny and static, and lax.map
-    # compiles to a sequential scan — 7 serialized endpoint computations
-    # per match added measurable latency at 26 matches per flight
-    import jax as _jax
-    pts, hit = _jax.vmap(yaw_endpoints)(jnp.asarray(offs_yaw))  # [Y, 32, 2], [Y, 32]
-
-    # SEPARABLE lattice: the world offsets shift x and y independently,
-    # so the endpoint column index rx varies only over (Y, Tx, beam) and
-    # the row index ry only over (Y, Ty, beam) — the [Y*Tx*Ty*32, win]
-    # one-hot batch of the round-2 formulation factors into two small
-    # per-(Y, beam) matmuls.  ~7x fewer MXU FLOPs, and the largest
-    # intermediate shrinks from [N=10976, 128] f32 per match (which
-    # OOMed the flat SLAM keyframe-match batch at B=128 on a 16 GB
-    # chip) to [Y, 32, Ty, 128].  Per-entry values are identical: each
-    # output cell of BOTH dots sums exactly one nonzero product in f32
-    # (one-hot selectors; int8 grid values are bf16-representable), and
-    # the beam reduction below keeps the same axis order as before.
-    ex = pts[..., 0][:, :, None] + offs_xy[None, None, :]      # [Y, 32, Tx]
-    ey = pts[..., 1][:, :, None] + offs_xy[None, None, :]      # [Y, 32, Ty]
-    cx, cy = world_to_cell(ex, ey, origin_x, origin_y, cfg.res_m,
-                           cfg.width // 2, cfg.height // 2)
-    # each side folds its own in-grid test (and the row side the hit
-    # mask) into its one-hot: the product is zero unless BOTH cell axes
-    # are in the logical grid and the beam hit — identical to the old
-    # explicit (hit & inb) weight
-    iny = (cy >= 0) & (cy < cfg.height)
-    inx = (cx >= 0) & (cx < cfg.width)
+    cy, cx, iny, inx, hit = _lattice_cells(
+        beams, x_guess, y_guess, yaw_guess_deg, origin_x, origin_y,
+        cfg, tof, n_xy, n_yaw, xy_step_m, yaw_step_deg)
     ry = cy + geom.pad - wy0                                   # [Y, 32, Ty]
     rx = cx + geom.pad - wx0                                   # [Y, 32, Tx]
     # window extent from the ARRAY, not the geom: the SLAM pass-1 kernel
@@ -197,6 +213,47 @@ def match_window(window: jnp.ndarray, wy0, wx0, beams,
                                  xy_step_m, yaw_step_deg)
     return _peak_result(scores, hit, x_guess, y_guess, yaw_guess_deg,
                         xy_step_m, yaw_step_deg)
+
+
+def match_slabs(slabs, r0s, c0s, beams, x_guess, y_guess, yaw_guess_deg,
+                origin_x, origin_y, cfg: MapConfig = MapConfig(),
+                tof: TofConfig = TofConfig(), geom: GridGeom = DEFAULT_GEOM,
+                n_xy: int = 7, n_yaw: int = 7, xy_step_m: float = 0.05,
+                yaw_step_deg: float = 1.0,
+                interpret: bool | None = None) -> MatchResult:
+    """Flat-batch matcher over kernel-emitted snapshot slabs
+    (ops/pallas_residentx.py::pallas_map_snap): slabs i8 [N, SR, SC]
+    with 8/128-aligned padded-grid origins (r0s, c0s) i32 [N]; all other
+    args [N].  Index prep (endpoint cells + masks) runs in XLA via the
+    shared `_lattice_cells`; the scoring runs as ONE pallas launch with
+    VMEM-resident one-hot matmuls (ops/pallas_scanmatch.py).  Bit-equal
+    to a vmapped match_window over the windows the slabs cover: every
+    in-grid candidate cell falls inside the match window (containment
+    proof `_assert_window_fits`), and masked endpoints ship index -1
+    (all-zero one-hot = the XLA side's folded masks)."""
+    from micro_quad_slam_tpu.ops.pallas_scanmatch import (
+        pallas_match_lattice)
+    import jax as _jax
+
+    _assert_window_fits(cfg, geom, n_xy, xy_step_m)
+    cy, cx, iny, inx, hit = _jax.vmap(
+        lambda bm, xg, yg, wg, ox_, oy_: _lattice_cells(
+            bm, xg, yg, wg, ox_, oy_, cfg, tof, n_xy, n_yaw, xy_step_m,
+            yaw_step_deg)
+    )(beams, x_guess, y_guess, yaw_guess_deg, origin_x, origin_y)
+    ry = jnp.where(iny & hit[..., None],
+                   cy + geom.pad - r0s[:, None, None, None], -1)
+    rx = jnp.where(inx, cx + geom.pad - c0s[:, None, None, None], -1)
+    # [N, Y, 32, T] -> [N, Y*T, 32] with rows ordered (yaw, candidate)
+    N = slabs.shape[0]
+    pk = lambda a: jnp.swapaxes(a, 2, 3).reshape(N, -1, 32)
+    scores = pallas_match_lattice(slabs, pk(ry), pk(rx), n_yaw,
+                                  interpret)                # [N, Y, Ty, Tx]
+    scores = jnp.swapaxes(scores, 2, 3)                     # [N, Y, Tx, Ty]
+    return _jax.vmap(
+        lambda sc, h, xg, yg, wg: _peak_result(sc, h, xg, yg, wg,
+                                               xy_step_m, yaw_step_deg)
+    )(scores, hit, x_guess, y_guess, yaw_guess_deg)
 
 
 def match_scan(
