@@ -4,13 +4,15 @@ Measures the framework's headline metric (BASELINE.md north star:
 >= 1,000,000 fused frames/sec on one TPU v5e chip): B independent flight
 replays, each frame doing beam extraction + gating + a fused map update.
 
-By default prints TWO JSON lines {"metric", "value", "unit",
-"vs_baseline", "kernel", "exact", "checksum"}: first `residentx` — the
-BIT-EXACT reference-semantics whole-replay kernel (the headline number;
+By default prints FIVE JSON lines {"metric", "value", "unit",
+"vs_baseline", ...}: first `residentx` — the BIT-EXACT
+reference-semantics whole-replay kernel (the headline number;
 ops/pallas_residentx.py, grids bit-match the golden C model) — then
 `hybridx`, the PRODUCTION mode (dense free-space carve + the
 reference's exact endpoint occupied semantics; occ-IoU 1.0/tol-0 vs the
-exact path on the divergence suites, tests/test_conemode.py).
+exact path on the divergence suites, tests/test_conemode.py), then one
+line each for SLAM replay, EKF fusion, and the closed-loop swarm
+simulator (MQS_BENCH_FULL=0 restores the two-line mapping-only bench).
 vs_baseline is the multiple of the reference pipeline's own fused-frame
 rate (~10 frames/s on the companion SBC, BASELINE.md).
 MQS_BENCH_KERNEL pins a single kernel (one line).
@@ -72,12 +74,98 @@ def bench_swarm(B: int, T: int, reps: int) -> None:
           f"checksum={checksum}", file=sys.stderr)
 
 
+def bench_slam(B: int, T: int, reps: int) -> None:
+    """Full SLAM replay (odo -> pass1 match -> loop closure -> pose graph
+    -> re-raster) frames/s — driver-visible so regressions in the SLAM
+    stack show up in BENCH_r{N}.json (VERDICT round 3, weak 5)."""
+    import jax
+    from micro_quad_slam_tpu.replay.fusion import fusion_arrays
+    from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.slam.pipeline import slam_replay
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
+                               noise_mm=6.0, with_flow=True)
+            for s in range(4)]
+    fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
+    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * (B // 4 + 1))[:B]
+         for k in fr[0]}
+    import jax.numpy as jnp
+    bd = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
+    sync_scalar(bd["x_m"])
+    res = slam_replay(bd, UL_PROFILE)
+    checksum = sync_scalar(res.grid)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = slam_replay(bd, UL_PROFILE)
+        checksum = sync_scalar(res.grid)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "metric": "slam_frames_per_sec_per_chip",
+        "value": round(B * T / dt, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(B * T / dt / 10.0, 1),  # ref fused rate
+        "checksum": checksum,
+    }))
+    print(f"# slam B={B} T={T} best={dt*1e3:.1f} ms", file=sys.stderr)
+
+
+def bench_ekf(B: int, T: int, reps: int) -> None:
+    """EKF fusion replay frames/s (driver-visible; VERDICT r3 weak 5)."""
+    import jax
+    import jax.numpy as jnp
+    from micro_quad_slam_tpu.replay.fusion import (_ekf_replay_batched,
+                                                   fusion_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
+                               noise_mm=6.0, with_flow=True)
+            for s in range(4)]
+    fr = [fusion_arrays(lg) for lg in logs]
+    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * (B // 4 + 1))[:B]
+         for k in fr[0]}
+    bd = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
+    sync_scalar(bd["of_rate_x"])
+    fn = jax.jit(lambda f: _ekf_replay_batched(f, UL_PROFILE)[1]["x"])
+    out = fn(bd)
+    checksum = sync_scalar(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(bd)
+        checksum = sync_scalar(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "metric": "ekf_frames_per_sec_per_chip",
+        "value": round(B * T / dt, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(B * T / dt / 10.0, 1),
+        "checksum": checksum,
+    }))
+    print(f"# ekf B={B} T={T} best={dt*1e3:.1f} ms", file=sys.stderr)
+
+
 def main() -> None:
     mode = os.environ.get("MQS_BENCH_MODE", "replay")
     if mode == "swarm":
         bench_swarm(int(os.environ.get("MQS_BENCH_B", "1024")),
                     int(os.environ.get("MQS_BENCH_T", "1000")),
                     int(os.environ.get("MQS_BENCH_REPS", "2")))
+        return
+    if mode == "slam":
+        bench_slam(int(os.environ.get("MQS_BENCH_B", "128")),
+                   int(os.environ.get("MQS_BENCH_T", "256")),
+                   int(os.environ.get("MQS_BENCH_REPS", "3")))
+        return
+    if mode == "ekf":
+        bench_ekf(int(os.environ.get("MQS_BENCH_B", "1024")),
+                  int(os.environ.get("MQS_BENCH_T", "256")),
+                  int(os.environ.get("MQS_BENCH_REPS", "3")))
         return
     import jax
 
@@ -171,6 +259,19 @@ def main() -> None:
             f"grid_checksum={checksum}",
             file=sys.stderr,
         )
+
+    # driver-visible subsystem lines (VERDICT round 3, weak 5): SLAM,
+    # EKF fusion, and closed-loop swarm throughput regressions now show
+    # in BENCH_r{N}.json instead of living only in PERFORMANCE.md prose.
+    # MQS_BENCH_FULL=0 restores the two-line mapping-only bench.
+    if os.environ.get("MQS_BENCH_FULL", "1") == "1" and not pinned:
+        bench_slam(int(os.environ.get("MQS_BENCH_SLAM_B", "128")), T,
+                   max(reps - 1, 1))
+        bench_ekf(int(os.environ.get("MQS_BENCH_EKF_B", "1024")), T,
+                  max(reps - 1, 1))
+        bench_swarm(int(os.environ.get("MQS_BENCH_SWARM_B", "1024")),
+                    int(os.environ.get("MQS_BENCH_SWARM_T", "1000")),
+                    max(reps - 1, 1))
 
 
 if __name__ == "__main__":
