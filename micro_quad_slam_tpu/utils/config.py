@@ -372,6 +372,17 @@ class PipelineConfig:
 # Profile matching uav_local_nav.c (full system).
 UL_PROFILE = PipelineConfig(name="ul")
 
+# Throughput operating point for the SLAM back-end: ONE global round,
+# no post-solve re-match rounds.  Same pass-1 matcher, loop closure,
+# Huber graph and exact pass-3 re-raster as the accuracy defaults —
+# only the round-4 accuracy multipliers (slam_outer=3, loop_refine=3,
+# whose value is drift-correction quality at 10-12% flow-gain error,
+# PERFORMANCE.md) are dialed back to the single-pass formulation.  Use
+# for throughput-bound replay fleets at low-to-moderate drift; the
+# accuracy A/B between the two points lives in tests/test_slam.py.
+UL_RT_PROFILE = UL_PROFILE.replace(
+    name="ul-rt", slam=SlamConfig(slam_outer=1, loop_refine=0))
+
 # Profile matching clean_uav_fc_tof_nav.c (hover-only stability revision).
 CL_PROFILE = PipelineConfig(
     name="cl",

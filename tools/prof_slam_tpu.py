@@ -5,6 +5,7 @@ call (measured with a tiny jit; tools/README).  Stage costs here are
 reported as differences between successive `upto` truncations of the
 same jitted pipeline, which cancels that constant.
 """
+import sys
 import time
 import numpy as np
 import jax
@@ -14,7 +15,7 @@ from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
 from micro_quad_slam_tpu.replay.fusion import fusion_arrays
 from micro_quad_slam_tpu.sim import synth_room_scanlog
 from micro_quad_slam_tpu.slam.pipeline import _slam_impl
-from micro_quad_slam_tpu.utils.config import UL_PROFILE
+from micro_quad_slam_tpu.utils.config import UL_PROFILE, UL_RT_PROFILE
 from micro_quad_slam_tpu.ops.raycast import DEFAULT_GEOM
 
 
@@ -35,12 +36,15 @@ def bestof(f, reps=3):
 
 
 def main():
-    B, T = 128, 256
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    prof = (UL_RT_PROFILE if len(sys.argv) > 3 and sys.argv[3] == "rt"
+            else UL_PROFILE)
     logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
                                noise_mm=6.0, with_flow=True)
             for s in range(4)]
     fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
-    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * 32)[:B]
+    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * (-(-B // 4)))[:B]
          for k in fr[0]}
     bd = {k: jax.device_put(jnp.asarray(v), jax.devices()[0])
           for k, v in b.items()}
@@ -55,7 +59,7 @@ def main():
              3: "+posegraph_gn", 4: "+track_correct", 99: "+pass3_raster"}
     prev = floor
     for upto in (0, 1, 2, 3, 4, 99):
-        t = bestof(lambda u=upto: _slam_impl(bd, UL_PROFILE, DEFAULT_GEOM, None, None, None, u))
+        t = bestof(lambda u=upto: _slam_impl(bd, prof, DEFAULT_GEOM, None, None, None, u))
         print(f"upto={upto:2d} {names[upto]:22s} cum={t*1e3:7.1f} ms "
               f"stage={(t-prev)*1e3:7.1f} ms", flush=True)
         prev = t
