@@ -46,49 +46,67 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _match_kernel(ry_ref, rx_ref, slab_ref, o_ref, *, Y: int, TY: int,
-                  TX: int, NB: int, SR: int, SC: int):
-    W = slab_ref[0].astype(jnp.int32).astype(jnp.float32).astype(
-        jnp.bfloat16)                                    # [SR, SC]
-    ry = ry_ref[0]                                       # [Y*TY, NB] i32
-    iota_r = lax.broadcasted_iota(jnp.int32, (Y * TY, NB, SR), 2)
-    R = (ry[:, :, None] == iota_r).astype(jnp.bfloat16).reshape(
-        Y * TY * NB, SR)
-    T1 = lax.dot_general(R, W, (((1,), (0,)), ((), ())),
-                         preferred_element_type=jnp.float32)
-    T1r = T1.reshape(Y * TY, NB, SC).astype(jnp.bfloat16).reshape(
-        Y, TY, NB * SC)
-    rx = rx_ref[0]                                       # [Y*TX, NB] i32
-    iota_c = lax.broadcasted_iota(jnp.int32, (Y * TX, NB, SC), 2)
-    C3 = (rx[:, :, None] == iota_c).astype(jnp.bfloat16).reshape(
-        Y, TX, NB * SC)
-    o_ref[0] = lax.dot_general(T1r, C3, (((2,), (2,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32)
+def _match_kernel(ry_ref, rx_ref, slab_ref, o_ref, *, G: int, Y: int,
+                  TY: int, TX: int, NB: int, SR: int, SC: int):
+    for g in range(G):
+        W = slab_ref[g].astype(jnp.int32).astype(jnp.float32).astype(
+            jnp.bfloat16)                                # [SR, SC]
+        ry = ry_ref[g]                                   # [Y*TY, NB] i32
+        iota_r = lax.broadcasted_iota(jnp.int32, (Y * TY, NB, SR), 2)
+        R = (ry[:, :, None] == iota_r).astype(jnp.bfloat16).reshape(
+            Y * TY * NB, SR)
+        T1 = lax.dot_general(R, W, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        T1r = T1.reshape(Y * TY, NB, SC).astype(jnp.bfloat16).reshape(
+            Y, TY, NB * SC)
+        rx = rx_ref[g]                                   # [Y*TX, NB] i32
+        iota_c = lax.broadcasted_iota(jnp.int32, (Y * TX, NB, SC), 2)
+        C3 = (rx[:, :, None] == iota_c).astype(jnp.bfloat16).reshape(
+            Y, TX, NB * SC)
+        o_ref[g] = lax.dot_general(T1r, C3, (((2,), (2,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def pallas_match_lattice(slabs, ryw, rxw, n_yaw: int,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None, group: int = 8):
     """slabs i8 [N, SR, SC]; ryw/rxw i32 [N, n_yaw*T, 32] slab-relative
     endpoint rows/cols per (yaw, translation-candidate, beam), -1 where
     masked (out-of-grid or no hit).  Returns scores f32
     [N, n_yaw, Ty, Tx] (ty = row-candidate axis, tx = column-candidate
-    axis — callers wanting _peak_result's [Y, Tx, Ty] transpose)."""
+    axis — callers wanting _peak_result's [Y, Tx, Ty] transpose).
+
+    `group` matches are scored per pallas program (unrolled in-kernel,
+    so per-g temporaries stay small and VMEM-safe): the per-program
+    fixed cost (grid sequencing + DMA latency) measured ~3.4 us/match
+    at G=1 — over half the matcher's time at the SLAM pass-1 workload.
+    N is padded to a multiple of `group` with index -1 (all-zero
+    one-hots) and zero slabs; pad scores are sliced off."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N, SR, SC = slabs.shape
     YT = ryw.shape[1]
     T = YT // n_yaw
     NB = ryw.shape[2]
-    kernel = functools.partial(_match_kernel, Y=n_yaw, TY=T, TX=T,
+    G = max(1, min(int(group), N))
+    padn = (-N) % G
+    if padn:
+        slabs = jnp.pad(slabs, ((0, padn), (0, 0), (0, 0)))
+        ryw = jnp.pad(ryw, ((0, padn), (0, 0), (0, 0)),
+                      constant_values=-1)
+        rxw = jnp.pad(rxw, ((0, padn), (0, 0), (0, 0)),
+                      constant_values=-1)
+    Np = N + padn
+    kernel = functools.partial(_match_kernel, G=G, Y=n_yaw, TY=T, TX=T,
                                NB=NB, SR=SR, SC=SC)
-    return pl.pallas_call(
+    scores = pl.pallas_call(
         kernel,
-        grid=(N,),
-        in_specs=[pl.BlockSpec((1, YT, NB), lambda n: (n, 0, 0)),
-                  pl.BlockSpec((1, YT, NB), lambda n: (n, 0, 0)),
-                  pl.BlockSpec((1, SR, SC), lambda n: (n, 0, 0))],
-        out_specs=pl.BlockSpec((1, n_yaw, T, T), lambda n: (n, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, n_yaw, T, T), jnp.float32),
+        grid=(Np // G,),
+        in_specs=[pl.BlockSpec((G, YT, NB), lambda n: (n, 0, 0)),
+                  pl.BlockSpec((G, YT, NB), lambda n: (n, 0, 0)),
+                  pl.BlockSpec((G, SR, SC), lambda n: (n, 0, 0))],
+        out_specs=pl.BlockSpec((G, n_yaw, T, T), lambda n: (n, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, n_yaw, T, T), jnp.float32),
         interpret=interpret,
     )(ryw, rxw, slabs)
+    return scores[:N] if padn else scores

@@ -246,6 +246,47 @@ def test_pallas_match_lattice_matches_xla():
                                       err_msg=name)
 
 
+def test_loop_kernel_matches_xla():
+    """The TPU loop-closure path (one flat pallas lattice-matcher batch
+    over all B*n_cand*K candidate matches, slam/pipeline.py::_loop_stage
+    run_loop_kernel) must produce EXACTLY the edges of the vmapped XLA
+    match_window path: candidate selection is shared, the matcher
+    scores are bit-equal, and everything downstream is deterministic
+    arithmetic on those scores."""
+    import functools
+    from micro_quad_slam_tpu.slam.pipeline import _loop_stage
+
+    rng = np.random.default_rng(11)
+    B, K = 2, 10
+    # a loopy track: revisits within loop_r_max_m of older keyframes,
+    # all gaps >= loop_min_gap covered by the candidate rounds
+    th = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    kfp = np.stack([0.8 * np.cos(th), 0.8 * np.sin(th), th], -1)
+    kfp = (kfp[None] + rng.normal(0, 0.05, (B, K, 3))).astype(np.float32)
+    beams = rng.uniform(0.1, 4.0, (B, K, 4, 8)).astype(np.float32)
+    beams[rng.random((B, K, 4, 8)) < 0.1] = np.nan
+    ox = np.zeros((B, K), np.float32)
+    oy = np.zeros((B, K), np.float32)
+
+    run = lambda uk: jax.jit(functools.partial(
+        _loop_stage, cfg=UL_PROFILE, geom=GEOM, use_kernel=uk))(
+            jnp.asarray(kfp), jnp.asarray(beams), jnp.asarray(ox),
+            jnp.asarray(oy))
+    want = run(False)
+    got = run(True)
+    # candidate indices, gating and quality are BIT-equal (the matcher
+    # scores are — test_pallas_match_lattice_matches_xla — and the edge
+    # selection is deterministic arithmetic on them); the measured z may
+    # differ in the last ulp of theta only, where XLA lowers the
+    # deg<->rad trig chain differently in the vmapped-scalar vs
+    # flat-batch contexts
+    for i, name in ((0, "ij"), (2, "ok"), (3, "q")):
+        np.testing.assert_array_equal(np.asarray(got[i]),
+                                      np.asarray(want[i]), err_msg=name)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=0, atol=1e-6, err_msg="z")
+
+
 def test_scanmatch_recovers_translation():
     offset = (0.12, -0.08)
     padded, beams = _wall_grid_and_beams(offset)

@@ -39,13 +39,15 @@ def bestof(f, reps=3):
 
 
 def main():
+    import sys
     cfg = UL_PROFILE
-    B, T = 128, 256
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
                                noise_mm=6.0, with_flow=True)
             for s in range(4)]
     fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
-    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * 32)[:B]
+    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * (-(-B // 4)))[:B]
          for k in fr[0]}
     bd = {k: jax.device_put(jnp.asarray(v), jax.devices()[0])
           for k, v in b.items()}
@@ -108,7 +110,27 @@ def main():
         return res.x, res.y, res.yaw_deg, res.quality
 
     t = bestof(lambda: match(snaps, kf_x, kf_y, kf_yaw))
-    print(f"flat match batch:       {(t-floor)*1e3:7.1f} ms", flush=True)
+    print(f"flat match batch (XLA): {(t-floor)*1e3:7.1f} ms", flush=True)
+
+    from micro_quad_slam_tpu.ops.scanmatch import match_slabs
+
+    @jax.jit
+    def match_k(snaps, kf_x, kf_y, kf_yaw):
+        pcx, pcy = world_to_cell(kf_x, kf_y, sox, soy, cfg.map.res_m,
+                                 cfg.map.width // 2, cfg.map.height // 2)
+        wy0, wx0 = window_origin(pcx, pcy, GEOM)
+        r0s, c0s = _snap_align(wy0, wx0, GEOM)
+        K_p = nc * n_kf
+        fl = lambda a: a.reshape((B * K_p,) + a.shape[2:])
+        res = match_slabs(fl(snaps), fl(r0s), fl(c0s), fl(kf_beams),
+                          fl(kf_x), fl(kf_y), fl(kf_yaw), fl(sox),
+                          fl(soy), cfg.map, cfg.tof, GEOM, s.match_n_xy,
+                          s.match_n_yaw, s.match_xy_step_m,
+                          s.match_yaw_step_deg)
+        return res.x, res.y, res.yaw_deg, res.quality
+
+    t = bestof(lambda: match_k(snaps, kf_x, kf_y, kf_yaw))
+    print(f"flat match batch (krn): {(t-floor)*1e3:7.1f} ms", flush=True)
 
     full = jax.jit(lambda bm, p, sc: _map_pass_nofb(
         bm, p, cfg, GEOM, kf_every, sc))

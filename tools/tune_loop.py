@@ -40,7 +40,7 @@ def run(drift=1.12, seed=5, n_frames=160, overrides=()):
             kw[k] = type(cur)(float(v))
     cfg = UL_PROFILE.replace(slam=dataclasses.replace(slam, **kw))
 
-    res = slam_replay(frames, cfg, GEOM, 10, 8)
+    res = slam_replay(frames, cfg, GEOM, 10, None)  # honor gn_iters overrides
     truth = np.stack([log.x_m, log.y_m], -1)
     odo_err = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - truth).T)
     slam_err = np.hypot(*(np.asarray(res.track)[0, :, :2] - truth).T)
