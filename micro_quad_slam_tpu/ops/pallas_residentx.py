@@ -337,15 +337,20 @@ def _ray_ranges(wv2, wx_c, wy_c, geom: GridGeom):
 
 def _count_pass(wv2, wx_c, wy_c, geom: GridGeom):
     """Member-count accumulation on the [96, 128] window: per ray one
-    subtract, one compare, one add."""
+    subtract, one compare, one select-add.  The sum is accumulated into
+    4 independent registsters (r % 4) and tree-combined at the end —
+    integer addition commutes, so the result is bit-identical to the
+    sequential chain while quartering the accumulate dependency depth
+    (the single-chain form serialized 256 dependent adds per group)."""
     lo_b, thr = _ray_ranges(wv2, wx_c, wy_c, geom)
     Rr = wv2.shape[0]
     rows_s = lax.broadcasted_iota(jnp.int32, (geom.win_rows, 1), 0)
-    cnt = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
+    z = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
+    accs = [z, z, z, z]
     for r in range(Rr):
         member = (rows_s - lo_b[r:r + 1, :]) < thr[r:r + 1, :]
-        cnt = cnt + jnp.where(member, 1, 0)
-    return cnt
+        accs[r % 4] = accs[r % 4] + jnp.where(member, 1, 0)
+    return (accs[0] + accs[1]) + (accs[2] + accs[3])
 
 
 def _pair_fixup(wv2, exa_r, eya_r, val_r, wx_c, wy_c, free: int,
@@ -1410,3 +1415,96 @@ def _conex_call(aux, fwords, grids, map_cfg: MapConfig, tof,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*operands)
+
+
+# ----------------------------------------------------------------------
+# per-step slab kernel (closed-loop simulator scan tick)
+# ----------------------------------------------------------------------
+
+def _map_step_kernel(ws_ref, wv_ref, grid_ref, out_ref, slab, sem, *,
+                     geom: GridGeom, cfg: MapConfig, G: int):
+    """One scan update per quad, slab-only DMA: for each of the block's
+    G quads, copy the [win_rows, 2*win_cols] aligned window from the
+    HBM grid, run the exact 32-ray clamp-affine update (_apply_rays —
+    the residentx fallback branch, bit-equal to apply_scan_to_grid),
+    and copy it back.  No resident full-grid load: the simulator's
+    map->behavior feedback makes the whole-replay schedule
+    precomputation inapplicable (PERFORMANCE.md round-2 plan item 3),
+    but the per-step cost is just 2 x 48 KB of window DMA + the ray
+    ALU instead of XLA's batched dynamic slice/unslice, which measured
+    ~70% of the per-step pipeline (PERFORMANCE.md 'where the time
+    goes')."""
+    wr, awc = geom.win_rows, 2 * geom.win_cols
+    for q in range(G):
+        A = lambda k: ws_ref[0, q, 0, k]
+
+        @pl.when(A(_A_ANY) != 0)
+        def _(A=A, q=q):
+            r0a = pl.multiple_of(A(_A_R0A), 8)
+            c0a = pl.multiple_of(A(_A_C0A), 128)
+            cy_s = A(_A_CYS)
+            cx_s = A(_A_CXS)
+            cp = pltpu.make_async_copy(
+                grid_ref.at[q, pl.ds(r0a, wr), pl.ds(c0a, awc)], slab,
+                sem)
+            cp.start()
+            cp.wait()
+            wvi = wv_ref[0, q, 0].astype(jnp.int32)      # [32, 128]
+            ones = jnp.ones((32, 1), jnp.int32)
+            ex_r = wvi[_R_EX:_R_EX + 1, 0:32]
+            ey_r = wvi[_R_EY:_R_EY + 1, 0:32]
+            val_r = wvi[_R_DXS:_R_DXS + 1, 0:32] >= 0
+            _apply_rays(wvi, ex_r + geom.win_r, ey_r + cy_s, val_r,
+                        ones * geom.win_r, ones * cy_s, slab,
+                        cx_s - geom.win_r, cfg, geom)
+            cp = pltpu.make_async_copy(
+                slab, out_ref.at[q, pl.ds(r0a, wr), pl.ds(c0a, awc)],
+                sem)
+            cp.start()
+            cp.wait()
+
+
+def pallas_map_step(grids, beams, x, y, yaw_deg, origin_x, origin_y,
+                    enabled, cfg: PipelineConfig = UL_PROFILE,
+                    geom: GridGeom = DEFAULT_GEOM,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """ONE scan update for a batch of quads on their padded int8 grids
+    (all args [B, ...]), bit-identical to vmapped apply_scan_to_grid
+    (tests/test_pallas.py::test_map_step_matches_xla) — the closed-loop
+    simulator's scan tick (models/simulator.py), where the XLA window
+    slice/unslice dominates (VERDICT round-3 ask 9).  Disabled quads
+    (enabled=False, or a pose outside the grid as gated by make_rays)
+    pass their grid through untouched via the input/output alias."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = grids.shape[0]
+    z = jnp.zeros((1, B), jnp.int32)
+    aux, words = _pack_words_x(
+        beams[None], x[None], y[None], yaw_deg[None], origin_x[None],
+        origin_y[None], enabled[None], z, z, z, cfg.map, cfg.tof, geom,
+        F=1)
+    G = next(g for g in (8, 4, 2, 1) if B % g == 0)
+    kernel = functools.partial(_map_step_kernel, geom=geom, cfg=cfg.map,
+                               G=G)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((1, G, 1, 16), lambda n: (0, n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, 1, 32, 128), lambda n: (0, n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, geom.prows, geom.pcols),
+                         lambda n: (n, 0, 0), memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((G, geom.prows, geom.pcols),
+                               lambda n: (n, 0, 0), memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(grids.shape, jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((geom.win_rows, 2 * geom.win_cols), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(aux, words, grids)

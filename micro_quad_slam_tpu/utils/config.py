@@ -204,7 +204,12 @@ class SlamConfig:
     the values the pipeline shipped with in rounds 1-2."""
 
     kf_every: int = 10             # keyframe cadence (frames)
-    gn_iters: int = 8              # Gauss-Newton iterations (static)
+    # Gauss-Newton iterations (static).  8 -> 5 in round 4: measured
+    # IDENTICAL tail error and wall IoU on the fig-8 suite at drifts
+    # 1.00/1.06/1.12 for both operating profiles (tools/tune_loop.py
+    # A/B; GN converges in <= 5 iterations from odometry-grade guesses),
+    # and the batched Cholesky solve chain is ~15% of SLAM TPU latency.
+    gn_iters: int = 5
     # correlative matcher lattice around the odometry guess (pass 1)
     match_n_xy: int = 7
     match_n_yaw: int = 7
@@ -373,15 +378,22 @@ class PipelineConfig:
 UL_PROFILE = PipelineConfig(name="ul")
 
 # Throughput operating point for the SLAM back-end: ONE global round,
-# no post-solve re-match rounds.  Same pass-1 matcher, loop closure,
-# Huber graph and exact pass-3 re-raster as the accuracy defaults —
-# only the round-4 accuracy multipliers (slam_outer=3, loop_refine=3,
-# whose value is drift-correction quality at 10-12% flow-gain error,
-# PERFORMANCE.md) are dialed back to the single-pass formulation.  Use
-# for throughput-bound replay fleets at low-to-moderate drift; the
-# accuracy A/B between the two points lives in tests/test_slam.py.
+# no post-solve re-match rounds, ONE pass-1 match iteration, two loop
+# candidates per keyframe.  Same pass-1 matcher, loop closure, Huber
+# graph and exact pass-3 re-raster as the accuracy defaults — only the
+# round-4 accuracy multipliers (slam_outer=3, loop_refine=3,
+# match_iters=2, loop_cand=3, whose value is drift-correction quality
+# at 10-12% flow-gain error, PERFORMANCE.md) are dialed back to the
+# single-pass formulation.  match_iters=1 is not even a trade at this
+# operating point: with a single global round the second match
+# iteration's map-rebuild feedback OVERCORRECTS (the same mechanism
+# the accuracy profile fixes with outer rounds) — measured fig-8
+# drift 1.00: 2.73 cm/IoU 0.952 -> 1.17 cm/1.000, 1.06: 3.13/0.844 ->
+# 2.02/0.905 (tools/tune_loop.py).  Use for throughput-bound replay
+# fleets at low-to-moderate drift; high-drift flights want UL_PROFILE.
 UL_RT_PROFILE = UL_PROFILE.replace(
-    name="ul-rt", slam=SlamConfig(slam_outer=1, loop_refine=0))
+    name="ul-rt", slam=SlamConfig(slam_outer=1, loop_refine=0,
+                                  match_iters=1, loop_cand=2))
 
 # Profile matching clean_uav_fc_tof_nav.c (hover-only stability revision).
 CL_PROFILE = PipelineConfig(

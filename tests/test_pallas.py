@@ -367,3 +367,36 @@ def test_conex_resume_bit_exact():
         state0=st_h)
     np.testing.assert_array_equal(np.asarray(st_r.grid),
                                   np.asarray(st_full.grid))
+
+
+def test_map_step_matches_xla():
+    """pallas_map_step (the simulator scan tick's slab kernel,
+    models/simulator.py) is bit-identical to vmapped apply_scan_to_grid:
+    random grids/poses/beams incl. NaN dropouts, a disabled quad, and
+    near-edge poses (window clamping)."""
+    from micro_quad_slam_tpu.ops.pallas_residentx import pallas_map_step
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    cfg = UL_PROFILE
+    rng = np.random.default_rng(3)
+    B = 8
+    grids = jnp.asarray(rng.integers(-80, 81, (B, GEOM.prows, GEOM.pcols)),
+                        jnp.int8)
+    beams = rng.uniform(0.1, 4.2, (B, 4, 8)).astype(np.float32)
+    beams[rng.random((B, 4, 8)) < 0.15] = np.nan
+    x = rng.uniform(-20, 20, B).astype(np.float32)
+    y = rng.uniform(-20, 20, B).astype(np.float32)
+    x[-2:] = rng.uniform(24.0, 26.0, 2)      # at/over the grid edge
+    yaw = rng.uniform(-180, 180, B).astype(np.float32)
+    ox = np.zeros(B, np.float32)
+    oy = np.zeros(B, np.float32)
+    en = np.ones(B, bool)
+    en[3] = False                            # a disabled quad passes through
+    args = (grids, jnp.asarray(beams), jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(yaw), jnp.asarray(ox), jnp.asarray(oy),
+            jnp.asarray(en))
+    want = jax.jit(jax.vmap(
+        lambda g, b, xi, yi, wi, oxi, oyi, e: apply_scan_to_grid(
+            g, b, xi, yi, wi, oxi, oyi, e, cfg.map, cfg.tof, GEOM)))(*args)
+    got = jax.jit(lambda *a: pallas_map_step(*a, cfg, GEOM))(*args)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -62,10 +62,16 @@ def _decide(scores, margin: int):
     return best_dir, fr_turn, fdir
 
 
-@jax.jit
-def _ab_replay(frames: dict):
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ab_replay(frames: dict, cone=None):
     """Replay [B, T] frames through exact AND hybrid updates in one scan;
     returns per-frame frontier scores [B, T, 4] for both grids."""
+    from micro_quad_slam_tpu.ops.conemode import ConeConfig
+    if cone is None:
+        cone = ConeConfig()
     cfg = UL_PROFILE
     B, T = frames["x_m"].shape
     beams, _ = extract_beams(frames["grid_mm"], cfg.tof)
@@ -84,7 +90,7 @@ def _ab_replay(frames: dict):
                       )(ge, b, x, y, yaw, ox, oy, en)
         gh = jax.vmap(lambda gi, bb, xi, yi, wi, oxi, oyi, e:
                       hybrid_scan_update(gi, bb, xi, yi, wi, oxi, oyi, e,
-                                         cfg.map, cfg.tof, GEOM)
+                                         cfg.map, cfg.tof, GEOM, cone)
                       )(gh, b, x, y, yaw, ox, oy, en)
         fs = lambda g: jax.vmap(
             lambda gi, xi, yi, wi, oxi, oyi: frontier_scores(
@@ -100,16 +106,26 @@ def _ab_replay(frames: dict):
     return jnp.moveaxis(se, 0, 1), jnp.moveaxis(sh, 0, 1)
 
 
-def frontier_ab(frames: dict, warmup: int = 20, margin: int | None = None):
+def frontier_ab(frames: dict, warmup: int = 20, margin: int | None = None,
+                cone=None):
     """-> dict of agreement fractions + mean |score delta| per direction."""
     margin = (UL_PROFILE.behavior.frontier_side_margin
               if margin is None else margin)
-    se, sh = _ab_replay(frames)
+    se, sh = _ab_replay(frames, cone)
     se_w, sh_w = np.asarray(se)[:, warmup:], np.asarray(sh)[:, warmup:]
     be, te, fe = (np.asarray(v) for v in _decide(jnp.asarray(se_w), margin))
     bh, th, fh = (np.asarray(v) for v in _decide(jnp.asarray(sh_w), margin))
+    # DECISIVE ticks: the exact map's best direction beats the runner-up
+    # by more than one cell reclassification (|w_unknown - w_free| = 2
+    # score points) — where the reference's own decision is not a
+    # near-tie that a single probed cell flips
+    s_sorted = np.sort(se_w, axis=-1)
+    exact_margin = s_sorted[..., -1] - s_sorted[..., -2]
+    dec = exact_margin > 2
     return {
         "best_dir_agree": float((be == bh).mean()),
+        "best_dir_agree_decisive": float((be == bh)[dec].mean()),
+        "decisive_frac": float(dec.mean()),
         "fr_turn_agree": float((te == th).mean()),
         "turning_dir_agree": float((fe == fh).mean()),
         "mean_abs_score_delta": float(np.abs(se_w - sh_w).mean()),
@@ -134,7 +150,14 @@ def default_scenarios(T: int = 120):
 
 
 if __name__ == "__main__":
+    import sys
+    from micro_quad_slam_tpu.ops.conemode import ConeConfig
     frames = default_scenarios()
-    out = frontier_ab(frames)
-    for k, v in out.items():
-        print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+    ws = ([float(w) for w in sys.argv[1:]]
+          if len(sys.argv) > 1 else [0.0, 0.5, 0.7, 0.9])
+    for w in ws:
+        out = frontier_ab(frames, cone=ConeConfig(ray_match_w_cells=w))
+        tag = "dense" if w == 0 else f"ray_match w={w}"
+        print(f"--- hybrid carve: {tag} ---")
+        for k, v in out.items():
+            print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")

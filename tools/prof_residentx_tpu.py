@@ -43,7 +43,9 @@ def sched_only(frames, cfg):
 
 
 def main():
-    B, T = 1024, 256
+    import sys
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     print("backend:", jax.devices()[0].platform, flush=True)
     frames = make_frames(B, T)
     frames = {k: jax.device_put(jnp.asarray(v)) for k, v in frames.items()}
