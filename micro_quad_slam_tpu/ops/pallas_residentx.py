@@ -336,21 +336,52 @@ def _ray_ranges(wv2, wx_c, wy_c, geom: GridGeom):
 
 
 def _count_pass(wv2, wx_c, wy_c, geom: GridGeom):
-    """Member-count accumulation on the [96, 128] window: per ray one
-    subtract, one compare, one select-add.  The sum is accumulated into
-    4 independent registsters (r % 4) and tree-combined at the end —
-    integer addition commutes, so the result is bit-identical to the
-    sequential chain while quartering the accumulate dependency depth
-    (the single-chain form serialized 256 dependent adds per group)."""
+    """Member-count accumulation, BANDED: a ray only walks from its pose
+    row (wy_c in [win_r, win_rows - win_r), both kernel paths) toward
+    its endpoint, so its member rows span at most win_rows - win_r
+    consecutive rows — up-rays (ey <= 0) inside window rows
+    [0, win_rows - win_r), down-rays (ey > 0) inside
+    [win_r, win_rows).  Both bands fit a [band, 128] register with
+    band = roundup8(win_rows - win_r) = 56 < 96 rows: the band offset
+    folds into the existing INT_MIN-biased lower bound (one [R, 128]
+    subtract total), and the two band counts bit-pack into ONE i32
+    accumulator (up in bits 0..15, down in bits 16..31; counts <= R
+    < 2^16, no carry), so the per-ray inner ops stay exactly
+    (subtract, compare, select-add) but on 56/96 of the rows.  An O(1)
+    epilogue unpacks and overlap-adds the bands back to [96, 128].
+    (A 4-way split accumulator — quartering the 256-deep add
+    dependency chain — was measured NEUTRAL on hardware in round 4:
+    kernel-alone 112.4 vs 112.5 ms at B=512, so Mosaic already covers
+    the chain latency; the simple chain stays.)"""
     lo_b, thr = _ray_ranges(wv2, wx_c, wy_c, geom)
     Rr = wv2.shape[0]
-    rows_s = lax.broadcasted_iota(jnp.int32, (geom.win_rows, 1), 0)
-    z = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
-    accs = [z, z, z, z]
+    band = min(-(-(geom.win_rows - geom.win_r) // 8) * 8, geom.win_rows)
+    shift = geom.win_rows - band                      # band-B start row
+    ey = wv2[0:Rr, _C_EY:_C_EY + 1]                  # [R, 1] i32
+    down = ey > 0
+    # down-rays: test rows' = rows - shift (bias absorbs it; down rays
+    # have lo_v >= win_r >= shift so the biased subtract cannot wrap)
+    lo_b = lo_b - jnp.where(down, jnp.int32(shift), 0)
+    # [R, 128] weight rows with REAL lane extent: Mosaic's layout
+    # inference tracks lane replication through broadcast_to/where and
+    # collapses a replicated row slice to [1, 1], whose both-dims
+    # broadcast into the [band, 128] select is unimplemented.  Adding
+    # an iota-derived all-zero row (values 0..127 >> 31 — provably
+    # zero only by value-range analysis, so nothing folds it) forces a
+    # concrete lane-varying layout.
+    z128 = lax.broadcasted_iota(
+        jnp.int32, (Rr, geom.win_cols), 1) >> 31
+    w = jnp.where(down, jnp.int32(1) << 16, jnp.int32(1)) + z128
+    rows_s = lax.broadcasted_iota(jnp.int32, (band, 1), 0)
+    cnt = jnp.zeros((band, geom.win_cols), jnp.int32)
     for r in range(Rr):
         member = (rows_s - lo_b[r:r + 1, :]) < thr[r:r + 1, :]
-        accs[r % 4] = accs[r % 4] + jnp.where(member, 1, 0)
-    return (accs[0] + accs[1]) + (accs[2] + accs[3])
+        cnt = cnt + jnp.where(member, w[r:r + 1, :], 0)
+    up = cnt & 0xFFFF
+    dn = (cnt >> 16) & 0xFFFF
+    z = jnp.zeros((shift, geom.win_cols), jnp.int32)
+    return (jnp.concatenate([up, z], axis=0)
+            + jnp.concatenate([z, dn], axis=0))
 
 
 def _pair_fixup(wv2, exa_r, eya_r, val_r, wx_c, wy_c, free: int,
@@ -470,9 +501,16 @@ def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
     dynamic roll of the stacked [2*96, 256] pair.  cwl: window lane base
     within the slab (all fields are positive, so the arithmetic >>
     unpacking stays exact)."""
-    cnt = _count_pass(wv2, wx_c, wy_c, geom)
-    mask, s_map, a_map, b_map = _fix_pass(wv2, exa_r, eya_r, val_r,
-                                          wx_c, wy_c, cfg, geom)
+    import os as _os
+    _abl = _os.environ.get("MQS_RX_ABLATE", "")
+    cnt = (jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
+           if _abl == "count" else _count_pass(wv2, wx_c, wy_c, geom))
+    if _abl == "fix":
+        z = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
+        mask, s_map, a_map, b_map = z, z, z, z
+    else:
+        mask, s_map, a_map, b_map = _fix_pass(wv2, exa_r, eya_r, val_r,
+                                              wx_c, wy_c, cfg, geom)
     w1 = cnt | mask << 10 | (s_map + 4096) << 11
     w2 = (a_map - cfg.lo_min) | (b_map - cfg.lo_min) << 8
     wr = geom.win_rows
