@@ -504,8 +504,8 @@ def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
     import os as _os
     _abl = _os.environ.get("MQS_RX_ABLATE", "")
     cnt = (jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
-           if _abl == "count" else _count_pass(wv2, wx_c, wy_c, geom))
-    if _abl == "fix":
+           if "count" in _abl else _count_pass(wv2, wx_c, wy_c, geom))
+    if "fix" in _abl:
         z = jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
         mask, s_map, a_map, b_map = z, z, z, z
     else:
@@ -517,7 +517,8 @@ def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
     both = jnp.concatenate(
         [jnp.pad(w1, ((0, 0), (0, geom.win_cols))),
          jnp.pad(w2, ((0, 0), (0, geom.win_cols)))], axis=0)  # [192, 256]
-    both = pltpu.roll(both, cwl, 1)
+    if "roll" not in _abl:
+        both = pltpu.roll(both, cwl, 1)
     w1r, w2r = both[0:wr], both[wr:2 * wr]
 
     slab0 = slab[...].astype(jnp.int32)
@@ -592,7 +593,8 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
 
     _rx_prologue(ws_ref, grid_ref, vgrid, slab, st_ref, sem_g, sem_w,
                  t, b, A, geom)
-    _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G, geom, cfg, F)
+    _rx_group_body(wv_ref.at[0, 0], vgrid, slab, st_ref, sem_w, A, G,
+                   geom, cfg, F)
 
     @pl.when(t == ng - 1)
     def _():
@@ -602,10 +604,68 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
         cp.wait()
 
 
+def _residentx_kernel_inner(ws_ref, wv_ref, grid_ref, out_ref, vgrid,
+                            slab, st_ref, wbuf, sem_g, sem_w, sem_o,
+                            sem_d, *, geom: GridGeom, cfg: MapConfig,
+                            ng: int, F: int):
+    """_residentx_kernel with the GROUP LOOP INSIDE the program: grid is
+    (B,) — one program per quad — and the ng word blocks stream from HBM
+    (wv_ref: ANY [g, B, F, 32, 128] f32) through a double-buffered VMEM
+    scratch pair (wbuf [2, F, 32, 128]: group t+1's DMA issues before
+    group t is processed, hiding the 128 KB fetch under the ray work).
+    Round-4 motivation, measured on v5e: at grid=(B, g) the fixed
+    per-program cost (~3.4 us — dispatch + pipeline prologue) was ~55%
+    of kernel time at B=512 (16,384 programs); one program per quad
+    pays it B times instead of B*g times.  Aux scalars for ALL groups of
+    the quad arrive as one SMEM block [g, 1, 8F+8] (~9 KB at T=256);
+    semantics are byte-identical to the outer-grid kernel — same group
+    body, same frame-0 recenter prologue per group, same sticky slab."""
+    from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
+
+    b = pl.program_id(0)
+
+    cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
+    cp.start()
+    pltpu.make_async_copy(wv_ref.at[0, b], wbuf.at[0],
+                          sem_d.at[0]).start()
+    cp.wait()
+    st_ref[0] = 0
+
+    def group(t, carry):
+        A = lambda f, k: ws_ref[t, 0, 0, 8 * f + k]
+        G = lambda k: ws_ref[t, 0, 0, 8 * F + k]
+        cur = lax.rem(t, 2)
+        pltpu.make_async_copy(wv_ref.at[t, b], wbuf.at[cur],
+                              sem_d.at[cur]).wait()
+
+        @pl.when(t + 1 < ng)
+        def _():
+            pltpu.make_async_copy(wv_ref.at[t + 1, b],
+                                  wbuf.at[1 - cur],
+                                  sem_d.at[1 - cur]).start()
+
+        @pl.when(A(0, _A_DO) != 0)
+        def _():
+            _flush_slab(st_ref, vgrid, slab, sem_w, geom)
+            _recenter_in_vmem(vgrid, A(0, _A_RSY), A(0, _A_RSX), geom)
+
+        _rx_group_body(wbuf.at[cur], vgrid, slab, st_ref, sem_w, A, G,
+                       geom, cfg, F)
+        return carry
+
+    lax.fori_loop(0, ng, group, 0, unroll=False)
+    _flush_slab(st_ref, vgrid, slab, sem_w, geom)
+    cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
+    cp.start()
+    cp.wait()
+
+
 def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
                    geom: GridGeom, cfg: MapConfig, F: int):
     """One group's ray work: merged fast path or per-frame fallback
-    (shared by the plain and the snapshot-emitting kernels)."""
+    (shared by the plain, inner-loop, and snapshot-emitting kernels).
+    wv_ref: [F, 32, 128] f32 ref (a .at-sliced block or a DMA'd VMEM
+    scratch buffer)."""
     from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
 
     wr, wc = geom.win_rows, geom.win_cols
@@ -625,7 +685,7 @@ def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
             cp.start()
             cp.wait()
 
-        wvi = wv_ref[0, 0].astype(jnp.int32)             # [F, 32, 128]
+        wvi = wv_ref[...].astype(jnp.int32)              # [F, 32, 128]
         wv2 = wvi.reshape(F * 32, 128)
         row = lambda r: jnp.concatenate(
             [wvi[f, r:r + 1, 0:32] for f in range(F)], axis=1)
@@ -662,7 +722,7 @@ def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
                     sem_w)
                 cp.start()
                 cp.wait()
-                wvi = wv_ref[0, 0, f].astype(jnp.int32)  # [32, 128]
+                wvi = wv_ref[f].astype(jnp.int32)        # [32, 128]
                 ones = jnp.ones((32, 1), jnp.int32)
                 wx_c = ones * geom.win_r       # ignore shipped group wx/wy
                 wy_c = ones * cy_s
@@ -792,6 +852,35 @@ def _residentx_call(aux, words, grids, map_cfg: MapConfig, geom: GridGeom,
     [B, prows, pcols]."""
     B = grids.shape[0]
     g, F = words.shape[0], words.shape[2]
+    import os
+    if os.environ.get("MQS_RX_INNER", "1") == "1":
+        kernel = functools.partial(_residentx_kernel_inner, geom=geom,
+                                   cfg=map_cfg, ng=g, F=F)
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((g, 1, 1, 8 * F + 8), lambda b: (0, b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(grids.shape, jnp.int8),
+            scratch_shapes=[
+                pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
+                pltpu.VMEM((geom.win_rows, 2 * geom.win_cols), jnp.int8),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.VMEM((2, F, 32, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases={2: 0},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(aux, words, grids)
     kernel = functools.partial(_residentx_kernel, geom=geom, cfg=map_cfg,
                                ng=g, F=F)
     return pl.pallas_call(
