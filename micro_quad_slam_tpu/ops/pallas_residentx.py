@@ -530,7 +530,8 @@ def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
                        jnp.int32(cfg.lo_min))
     fix = jnp.minimum(jnp.maximum(slab0 + s2, a2), b2)
     out = jnp.where((w1r & 0x400) != 0, fix, base)
-    slab[...] = out.astype(jnp.int8)
+    if "apply" not in _abl:
+        slab[...] = out.astype(jnp.int8)
 
 
 def _flush_slab(st_ref, vgrid, slab, sem, geom: GridGeom):
@@ -623,37 +624,45 @@ def _residentx_kernel_inner(ws_ref, wv_ref, grid_ref, out_ref, vgrid,
     from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
 
     b = pl.program_id(0)
+    C = wbuf.shape[1]          # groups fetched per DMA (divides ng)
+    nc = ng // C
 
     cp = pltpu.make_async_copy(grid_ref.at[b], vgrid, sem_g)
     cp.start()
-    pltpu.make_async_copy(wv_ref.at[0, b], wbuf.at[0],
+    pltpu.make_async_copy(wv_ref.at[pl.ds(0, C), b], wbuf.at[0],
                           sem_d.at[0]).start()
     cp.wait()
     st_ref[0] = 0
 
-    def group(t, carry):
-        A = lambda f, k: ws_ref[t, 0, 0, 8 * f + k]
-        G = lambda k: ws_ref[t, 0, 0, 8 * F + k]
-        cur = lax.rem(t, 2)
-        pltpu.make_async_copy(wv_ref.at[t, b], wbuf.at[cur],
-                              sem_d.at[cur]).wait()
+    def chunk(tc, carry):
+        cur = lax.rem(tc, 2)
+        pltpu.make_async_copy(wv_ref.at[pl.ds(tc * C, C), b],
+                              wbuf.at[cur], sem_d.at[cur]).wait()
 
-        @pl.when(t + 1 < ng)
+        @pl.when(tc + 1 < nc)
         def _():
-            pltpu.make_async_copy(wv_ref.at[t + 1, b],
+            pltpu.make_async_copy(wv_ref.at[pl.ds((tc + 1) * C, C), b],
                                   wbuf.at[1 - cur],
                                   sem_d.at[1 - cur]).start()
 
-        @pl.when(A(0, _A_DO) != 0)
-        def _():
-            _flush_slab(st_ref, vgrid, slab, sem_w, geom)
-            _recenter_in_vmem(vgrid, A(0, _A_RSY), A(0, _A_RSX), geom)
+        def group(j, carry2):
+            t = tc * C + j
+            A = lambda f, k: ws_ref[t, 0, 0, 8 * f + k]
+            G = lambda k: ws_ref[t, 0, 0, 8 * F + k]
 
-        _rx_group_body(wbuf.at[cur], vgrid, slab, st_ref, sem_w, A, G,
-                       geom, cfg, F)
-        return carry
+            @pl.when(A(0, _A_DO) != 0)
+            def _():
+                _flush_slab(st_ref, vgrid, slab, sem_w, geom)
+                _recenter_in_vmem(vgrid, A(0, _A_RSY), A(0, _A_RSX),
+                                  geom)
 
-    lax.fori_loop(0, ng, group, 0, unroll=False)
+            _rx_group_body(wbuf.at[cur, j], vgrid, slab, st_ref, sem_w,
+                           A, G, geom, cfg, F)
+            return carry2
+
+        return lax.fori_loop(0, C, group, carry, unroll=False)
+
+    lax.fori_loop(0, nc, chunk, 0, unroll=False)
     _flush_slab(st_ref, vgrid, slab, sem_w, geom)
     cp = pltpu.make_async_copy(vgrid, out_ref.at[b], sem_o)
     cp.start()
@@ -671,19 +680,28 @@ def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
     wr, wc = geom.win_rows, geom.win_cols
     awc = 2 * wc
 
+    import os as _os
+    direct = _os.environ.get("MQS_RX_DIRECT", "0") == "1"
+
     @pl.when((G(_G_FAST) != 0) & (G(_G_ANY) != 0))
     def _():
         r0g = pl.multiple_of(G(_G_R0G), 8)
         c0g = pl.multiple_of(G(_G_C0G), 128)
 
-        @pl.when((st_ref[0] == 0) | (st_ref[1] != r0g)
-                 | (st_ref[2] != c0g))
-        def _():
-            _flush_slab(st_ref, vgrid, slab, sem_w, geom)
-            cp = pltpu.make_async_copy(
-                vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], slab, sem_w)
-            cp.start()
-            cp.wait()
+        if direct:
+            win = vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)]
+        else:
+            win = slab
+
+            @pl.when((st_ref[0] == 0) | (st_ref[1] != r0g)
+                     | (st_ref[2] != c0g))
+            def _():
+                _flush_slab(st_ref, vgrid, slab, sem_w, geom)
+                cp = pltpu.make_async_copy(
+                    vgrid.at[pl.ds(r0g, wr), pl.ds(c0g, awc)], slab,
+                    sem_w)
+                cp.start()
+                cp.wait()
 
         wvi = wv_ref[...].astype(jnp.int32)              # [F, 32, 128]
         wv2 = wvi.reshape(F * 32, 128)
@@ -694,12 +712,13 @@ def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
         val_r = row(_R_DXS) >= 0
         _apply_rays(wv2, ex_r + wx_r, ey_r + wy_r, val_r,
                     wv2[:, _C_WX:_C_WX + 1], wv2[:, _C_WY:_C_WY + 1],
-                    slab, G(_G_CWL), cfg, geom)
-        # leave the slab live: the write-back happens on the next
-        # region change, recenter, fallback group, or final copy-out
-        st_ref[0] = 1
-        st_ref[1] = r0g
-        st_ref[2] = c0g
+                    win, G(_G_CWL), cfg, geom)
+        if not direct:
+            # leave the slab live: the write-back happens on the next
+            # region change, recenter, fallback group, or final copy-out
+            st_ref[0] = 1
+            st_ref[1] = r0g
+            st_ref[2] = c0g
 
     @pl.when(G(_G_FAST) == 0)
     def _():
@@ -717,11 +736,15 @@ def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
                 c0a = pl.multiple_of(A(f, _A_C0A), 128)
                 cy_s = A(f, _A_CYS)
                 cx_s = A(f, _A_CXS)
-                cp = pltpu.make_async_copy(
-                    vgrid.at[pl.ds(r0a, wr), pl.ds(c0a, awc)], slab,
-                    sem_w)
-                cp.start()
-                cp.wait()
+                if direct:
+                    winf = vgrid.at[pl.ds(r0a, wr), pl.ds(c0a, awc)]
+                else:
+                    winf = slab
+                    cp = pltpu.make_async_copy(
+                        vgrid.at[pl.ds(r0a, wr), pl.ds(c0a, awc)], slab,
+                        sem_w)
+                    cp.start()
+                    cp.wait()
                 wvi = wv_ref[f].astype(jnp.int32)        # [32, 128]
                 ones = jnp.ones((32, 1), jnp.int32)
                 wx_c = ones * geom.win_r       # ignore shipped group wx/wy
@@ -730,13 +753,14 @@ def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
                 ey_r = wvi[_R_EY:_R_EY + 1, 0:32]
                 val_r = wvi[_R_DXS:_R_DXS + 1, 0:32] >= 0
                 _apply_rays(wvi, ex_r + geom.win_r, ey_r + cy_s, val_r,
-                            wx_c, wy_c, slab, cx_s - geom.win_r, cfg,
+                            wx_c, wy_c, winf, cx_s - geom.win_r, cfg,
                             geom)
-                cp = pltpu.make_async_copy(
-                    slab, vgrid.at[pl.ds(r0a, wr), pl.ds(c0a, awc)],
-                    sem_w)
-                cp.start()
-                cp.wait()
+                if not direct:
+                    cp = pltpu.make_async_copy(
+                        slab, vgrid.at[pl.ds(r0a, wr), pl.ds(c0a, awc)],
+                        sem_w)
+                    cp.start()
+                    cp.wait()
 
 
 def _snap_dims(geom: GridGeom) -> tuple:
@@ -854,6 +878,8 @@ def _residentx_call(aux, words, grids, map_cfg: MapConfig, geom: GridGeom,
     g, F = words.shape[0], words.shape[2]
     import os
     if os.environ.get("MQS_RX_INNER", "1") == "1":
+        C = next(c for c in (int(os.environ.get("MQS_RX_CHUNK", "4")),
+                             2, 1) if g % c == 0)
         kernel = functools.partial(_residentx_kernel_inner, geom=geom,
                                    cfg=map_cfg, ng=g, F=F)
         return pl.pallas_call(
@@ -871,7 +897,7 @@ def _residentx_call(aux, words, grids, map_cfg: MapConfig, geom: GridGeom,
                 pltpu.VMEM((geom.prows, geom.pcols), jnp.int8),
                 pltpu.VMEM((geom.win_rows, 2 * geom.win_cols), jnp.int8),
                 pltpu.SMEM((4,), jnp.int32),
-                pltpu.VMEM((2, F, 32, 128), jnp.float32),
+                pltpu.VMEM((2, C, F, 32, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
