@@ -48,7 +48,12 @@ def bench_swarm(B: int, T: int, reps: int) -> None:
 
     world = make_world(B, room=(-3.5, -3.5, 3.5, 3.5),
                        obstacles=[(1.5, -0.5, 2.5, 0.5)])
-    st0 = sim_init(B, jax.random.PRNGKey(0), spread_m=0.5)
+    # mid-mission start: armed + EXPLORE + mapper inited, so the 100 ms
+    # scan ticks run REAL map updates through pallas_map_step from t=0
+    # (a ground start spends the whole 1 s window in ARMING/TAKEOFF with
+    # mapping disabled — the old bench measured an inert map path and
+    # printed checksum=0)
+    st0 = sim_init(B, jax.random.PRNGKey(0), spread_m=0.5, airborne=True)
     # 1 kHz control ticks; ToF scans every 100 ms as in the reference
     vf = os.environ.get("MQS_BENCH_VF", "0") == "1"
     run = lambda s: sim_run(s, world, T, UL_PROFILE, dt_ms=1,
@@ -69,6 +74,7 @@ def bench_swarm(B: int, T: int, reps: int) -> None:
         "unit": "quad-ticks/s",
         # north star: 1024 quads at 1 kHz = 1.024M quad-ticks/s
         "vs_baseline": round(tps / 1.024e6, 3),
+        "checksum": checksum,
     }))
     print(f"# swarm B={B} T={T} best={dt*1e3:.1f} ms backend={jax.default_backend()} "
           f"checksum={checksum}", file=sys.stderr)

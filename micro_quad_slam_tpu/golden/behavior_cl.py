@@ -120,6 +120,22 @@ class GoldenBehaviorCL(GoldenBehavior):
         en = (tm.sys_enabled & SENSOR_XY_POSITION_CONTROL) != 0
         return self._bit_ok(tm, SENSOR_XY_POSITION_CONTROL) if en else True
 
+    # -------- mode requests (clean:606-629) --------
+    def _emit_mode(self, tm: Telemetry, out, mode: int) -> bool:
+        # The CLEAN set_mode_custom SUPPRESSES a request for the mode the
+        # FC already reports, BEFORE the rate limit (clean:607-608) — the
+        # UL variant has no such check (uav_local_nav.c:699-704).  Found
+        # by the round-5 compiled-C control_tick machine-check.
+        if not tm.have_fc:
+            return False
+        if tm.hb_custom_mode == mode:
+            return False
+        if tm.t_ms - self.last_mode_cmd_ms < 800:
+            return False
+        self.last_mode_cmd_ms = tm.t_ms
+        out.req_mode = mode
+        return True
+
     # -------- defensive altitude estimation (clean:1710-1782) --------
     def _update_alt(self, tm: Telemetry) -> None:
         lpos_fresh = self._lpos_fresh(tm)

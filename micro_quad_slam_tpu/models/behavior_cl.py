@@ -206,7 +206,10 @@ def behavior_step_cl(state: BehaviorClState, tm: dict,
         S["st"] = W(c, ns, S["st"])
 
     def emit_mode(mode, cond):
-        can = cond & tm["have_fc"] & (t - S["lim_mode"] >= 800)
+        # clean set_mode_custom: same-mode suppression BEFORE the rate
+        # limit (clean:607-608); the UL variant lacks it
+        can = (cond & tm["have_fc"] & (tm["hb_custom_mode"] != mode)
+               & (t - S["lim_mode"] >= 800))
         S["lim_mode"] = W(can, t, S["lim_mode"])
         O["req_mode"] = W(can, mode, O["req_mode"])
 

@@ -219,23 +219,55 @@ class SimState(NamedTuple):
 
 
 def sim_init(batch: int, key=None, geom: GridGeom = DEFAULT_GEOM,
-             spread_m: float = 1.0) -> SimState:
+             spread_m: float = 1.0, airborne: bool = False,
+             hover_alt_m: float = 0.5) -> SimState:
+    """airborne=True starts the fleet MID-MISSION: armed in GUIDED at
+    hover altitude, behavior in EXPLORE with captured hover targets, and
+    the mapper INITED at the start pose — so every scan tick from t=0
+    runs a real map update (the ground start spends its first seconds in
+    ARMING/TAKEOFF with mapping disabled; a 1,000-tick north-star bench
+    measured an inert map path — round-5 fix)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     x0 = jax.random.uniform(k1, (batch,), jnp.float32, -spread_m, spread_m)
     y0 = jax.random.uniform(k2, (batch,), jnp.float32, -spread_m, spread_m)
+    yaw0 = jax.random.uniform(k3, (batch,), jnp.float32, -180.0, 180.0)
+    fc = fc_init(batch)
+    beh = behavior_init(batch)
+    mapper = mapping_init(batch, geom)
+    ekf = ekf_init((batch,))
+    alt = jnp.zeros((batch,), jnp.float32)
+    if airborne:
+        alt = jnp.full((batch,), hover_alt_m, jnp.float32)
+        fc = fc._replace(armed=jnp.ones((batch,), bool),
+                         mode=jnp.full((batch,), 4, jnp.int32),
+                         motor=jnp.full((batch,), 1500.0, jnp.float32))
+        from micro_quad_slam_tpu.models.behavior import ST_EXPLORE
+        tb = lambda v: jnp.full((batch,), v)
+        beh = beh._replace(
+            st=jnp.full((batch,), ST_EXPLORE, jnp.int32),
+            yaw_tv=tb(True), yaw_t=yaw0,
+            hover_valid=tb(True), hover_x=x0, hover_y=y0,
+            hover_z=-alt, hover_yaw=yaw0,
+            alt_est=alt, alt_src=jnp.full((batch,), 2, jnp.int32),
+            to_sent=tb(True), to_started=tb(True), armed_prev=tb(True),
+            xy_since=jnp.ones((batch,), beh.xy_since.dtype))
+        mapper = mapper._replace(inited=jnp.ones((batch,), bool),
+                                 origin_x=x0, origin_y=y0)
+        ekf = ekf_init((batch,), x0=x0, y0=y0, z0=alt,
+                       yaw0=jnp.deg2rad(yaw0))
     return SimState(
         t_ms=jnp.int32(0),
         key=k3,
         x=x0, y=y0,
-        yaw=jax.random.uniform(k3, (batch,), jnp.float32, -180.0, 180.0),
+        yaw=yaw0,
         vx=jnp.zeros((batch,), jnp.float32),
         vy=jnp.zeros((batch,), jnp.float32),
-        alt=jnp.zeros((batch,), jnp.float32),
-        fc=fc_init(batch),
-        beh=behavior_init(batch),
-        mapper=mapping_init(batch, geom),
-        ekf=ekf_init((batch,)),
+        alt=alt,
+        fc=fc,
+        beh=beh,
+        mapper=mapper,
+        ekf=ekf,
         tof_min=jnp.full((batch, 4), jnp.nan, jnp.float32),
         scan_count=jnp.int32(0),
         cam_prev=jnp.zeros((batch, CAM_SIZE, CAM_SIZE), jnp.float32),

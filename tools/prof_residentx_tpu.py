@@ -59,14 +59,16 @@ def main():
 
     grids = jnp.zeros((B, DEFAULT_GEOM.prows, DEFAULT_GEOM.pcols),
                       jnp.int8)
+    opts = prx.rx_opts_from_env()     # explicit opt-in: MQS_RX_* knobs
     kern = jax.jit(lambda a, w, g: prx._residentx_call(
-        a, w, g, UL_PROFILE.map, DEFAULT_GEOM, False))
+        a, w, g, UL_PROFILE.map, DEFAULT_GEOM, False, opts))
     t_k, _ = timeit(lambda: kern(aux, words, grids), sync)
     print(f"kernel alone:        {t_k*1e3:7.1f} ms "
-          f"({B*T/t_k/1e6:.2f} M fps cap)", flush=True)
+          f"({B*T/t_k/1e6:.2f} M fps cap)  opts={opts}", flush=True)
 
     t_e, _ = timeit(
-        lambda: prx.pallas_replay_residentx(frames, UL_PROFILE),
+        lambda: prx.pallas_replay_residentx(frames, UL_PROFILE,
+                                            opts=opts),
         lambda o: sync(o[0].grid))
     print(f"end-to-end:          {t_e*1e3:7.1f} ms "
           f"({B*T/t_e/1e6:.2f} M frames/s)", flush=True)
