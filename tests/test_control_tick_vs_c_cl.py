@@ -17,7 +17,10 @@ and JAX CL twins had missed; fixed in this round and locked here.
 
 Scenario coverage: 11 scripted anomaly scenarios + 48 randomized
 anomaly schedules; a coverage floor asserts the C trace itself visits
-all 8 CL states.
+all 8 CL states.  Mutation-sensitivity verified at build time: removing
+the same-mode suppression is caught by seed 54/61, perturbing the
+prearm hold (400->380 ms) by seed 51, and shifting the off-ground
+threshold (0.05->0.06) by seed 55.
 """
 
 import ctypes
