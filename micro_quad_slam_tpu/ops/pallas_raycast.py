@@ -156,7 +156,6 @@ def _pack_rays(beams, x, y, yaw, ox, oy, enabled, cfg: MapConfig,
         [packed[:, None, :], row1[:, None, :], rest], axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
 def pallas_apply_scans(
     padded_grids: jnp.ndarray,   # i8 [B, prows, pcols]
     beams: jnp.ndarray,          # f32 [B, 4, 8]
@@ -166,10 +165,24 @@ def pallas_apply_scans(
     cfg: MapConfig = MapConfig(),
     tof: TofConfig = TofConfig(),
     geom: GridGeom = DEFAULT_GEOM,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Batched fused scan update: the Pallas twin of
-    vmap(apply_scan_to_grid).  Bit-identical results."""
+    vmap(apply_scan_to_grid).  Bit-identical results.  interpret=None
+    follows the backend (interpret off TPU) — the old False default
+    crashed the CLI's --kernel pallas path on CPU (round-5 drive)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pallas_apply_scans_jit(padded_grids, beams, x, y, yaw_deg,
+                                   origin_x, origin_y, enabled, cfg, tof,
+                                   geom, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def _pallas_apply_scans_jit(
+    padded_grids, beams, x, y, yaw_deg, origin_x, origin_y, enabled,
+    cfg: MapConfig, tof: TofConfig, geom: GridGeom, interpret: bool
+) -> jnp.ndarray:
     B = padded_grids.shape[0]
     ray_words = _pack_rays(beams, x, y, yaw_deg, origin_x, origin_y,
                            enabled, cfg, tof, geom)
@@ -260,7 +273,6 @@ def _window_kernel_db(org_ref, ray_ref, grid_ref, out_ref, win2,
                               sem_out.at[nslot]).wait()
 
 
-@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
 def pallas_apply_scans_db(
     padded_grids: jnp.ndarray,
     beams: jnp.ndarray,
@@ -270,9 +282,22 @@ def pallas_apply_scans_db(
     cfg: MapConfig = MapConfig(),
     tof: TofConfig = TofConfig(),
     geom: GridGeom = DEFAULT_GEOM,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Double-buffered batched fused scan update (bit-identical)."""
+    """Double-buffered batched fused scan update (bit-identical).
+    interpret=None follows the backend, like every other entry."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pallas_apply_scans_db_jit(padded_grids, beams, x, y, yaw_deg,
+                                      origin_x, origin_y, enabled, cfg,
+                                      tof, geom, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))
+def _pallas_apply_scans_db_jit(
+    padded_grids, beams, x, y, yaw_deg, origin_x, origin_y, enabled,
+    cfg: MapConfig, tof: TofConfig, geom: GridGeom, interpret: bool
+) -> jnp.ndarray:
     B = padded_grids.shape[0]
     ray_words = _pack_rays(beams, x, y, yaw_deg, origin_x, origin_y,
                            enabled, cfg, tof, geom)

@@ -169,6 +169,133 @@ def main() -> int:
            _eq(g_nk, g_nx) and _eq(m_nk, m_nx),
            f"({time.time()-t0:.1f}s)")
 
+    # --- round-4 kernels (VERDICT round 4, missing 2): every pallas_call
+    # entry point gets an on-chip line.  map_step's round-4 break was
+    # Mosaic-lowering-ONLY (interpret mode passed) — this block is the
+    # only guard for that class.
+    from micro_quad_slam_tpu.ops.raycast import apply_scan_to_grid
+    from micro_quad_slam_tpu.ops.pallas_residentx import (
+        _snap_align, pallas_map_snap, pallas_map_step)
+
+    rng = np.random.default_rng(3)
+    Bs = 8
+    g0 = jnp.asarray(rng.integers(-80, 81, (Bs, DEFAULT_GEOM.prows,
+                                            DEFAULT_GEOM.pcols)), jnp.int8)
+    bm = rng.uniform(0.1, 4.2, (Bs, 4, 8)).astype(np.float32)
+    bm[rng.random((Bs, 4, 8)) < 0.15] = np.nan
+    xs = rng.uniform(-20, 20, Bs).astype(np.float32)
+    ys = rng.uniform(-20, 20, Bs).astype(np.float32)
+    xs[-2:] = rng.uniform(24.0, 26.0, 2)
+    yw = rng.uniform(-180, 180, Bs).astype(np.float32)
+    zb = np.zeros(Bs, np.float32)
+    en = np.ones(Bs, bool)
+    en[3] = False
+    a = (g0, jnp.asarray(bm), jnp.asarray(xs), jnp.asarray(ys),
+         jnp.asarray(yw), jnp.asarray(zb), jnp.asarray(zb),
+         jnp.asarray(en))
+    t0 = time.time()
+    want = jax.jit(jax.vmap(
+        lambda g, b, xi, yi, wi, oxi, oyi, e: apply_scan_to_grid(
+            g, b, xi, yi, wi, oxi, oyi, e, UL_PROFILE.map,
+            UL_PROFILE.tof, DEFAULT_GEOM)))(*a)
+    got = jax.jit(lambda *v: pallas_map_step(*v, UL_PROFILE,
+                                             DEFAULT_GEOM))(*a)
+    record("map_step_vs_xla", _eq(got, want), f"({time.time()-t0:.1f}s)")
+
+    # map_snap: grids + per-slot snapshots vs the XLA chunk-sched path
+    # + hand-sliced snapshot windows
+    from micro_quad_slam_tpu.ops.raycast import world_to_cell
+    from micro_quad_slam_tpu.ops.scanmatch import window_origin
+    Bk, K, n_kf = 2, 8, 4
+    bmk = rng.uniform(0.1, 4.0, (Bk, K, 4, 8)).astype(np.float32)
+    xk = rng.uniform(-2, 2, (Bk, K)).astype(np.float32)
+    yk = rng.uniform(-2, 2, (Bk, K)).astype(np.float32)
+    yk2 = rng.uniform(-180, 180, (Bk, K)).astype(np.float32)
+    oxk = np.zeros((Bk, K), np.float32)
+    zk = np.zeros((Bk, K), np.int32)
+    gk0 = jnp.asarray(rng.integers(-40, 41,
+                                   (Bk, DEFAULT_GEOM.prows,
+                                    DEFAULT_GEOM.pcols)), jnp.int8)
+    pcx, pcy = world_to_cell(jnp.asarray(xk), jnp.asarray(yk),
+                             jnp.asarray(oxk), jnp.asarray(oxk),
+                             UL_PROFILE.map.res_m,
+                             UL_PROFILE.map.width // 2,
+                             UL_PROFILE.map.height // 2)
+    wy0, wx0 = window_origin(pcx, pcy, DEFAULT_GEOM)
+    t0 = time.time()
+    gsn, snaps = pallas_map_snap(
+        gk0, jnp.asarray(bmk), jnp.asarray(xk), jnp.asarray(yk),
+        jnp.asarray(yk2), jnp.asarray(oxk), jnp.asarray(oxk),
+        jnp.asarray(zk), jnp.asarray(zk), jnp.asarray(zk), wy0, wx0,
+        n_kf, UL_PROFILE, DEFAULT_GEOM)
+    # XLA twin: sequential per-slot updates; snapshots = chunk-start grid
+    r0s, c0s = _snap_align(wy0, wx0, DEFAULT_GEOM)
+    sr, sc = snaps.shape[2], snaps.shape[3]
+    gx = gk0
+    snaps_x = np.zeros_like(np.asarray(snaps))
+    upd = jax.jit(jax.vmap(
+        lambda g, b, xi, yi, wi, oxi, oyi: apply_scan_to_grid(
+            g, b, xi, yi, wi, oxi, oyi, True, UL_PROFILE.map,
+            UL_PROFILE.tof, DEFAULT_GEOM)))
+    for s in range(K):
+        if s % n_kf == 0:
+            chunk_start = np.asarray(gx)
+        for b in range(Bk):
+            snaps_x[b, s] = chunk_start[
+                b, int(r0s[b, s]):int(r0s[b, s]) + sr,
+                int(c0s[b, s]):int(c0s[b, s]) + sc]
+        gx = upd(gx, jnp.asarray(bmk[:, s]), jnp.asarray(xk[:, s]),
+                 jnp.asarray(yk[:, s]), jnp.asarray(yk2[:, s]),
+                 jnp.asarray(oxk[:, s]), jnp.asarray(oxk[:, s]))
+    record("map_snap_vs_xla",
+           _eq(gsn, gx) and _eq(snaps, snaps_x),
+           f"({time.time()-t0:.1f}s)")
+
+    # lattice matcher: pallas one-hot-matmul scorer vs the XLA
+    # match_window path over the same slabs
+    from micro_quad_slam_tpu.ops.scanmatch import match_slabs, match_window
+    t0 = time.time()
+    N = 24
+    padded = rng.integers(-80, 81, (N, DEFAULT_GEOM.prows,
+                                    DEFAULT_GEOM.pcols)).astype(np.int8)
+    oxn = np.zeros(N, np.float32)
+    xg = rng.uniform(-8, 8, N).astype(np.float32)
+    xg[-6:] = rng.uniform(21.0, 24.5, 6).astype(np.float32)
+    yg = rng.uniform(-8, 8, N).astype(np.float32)
+    yawg = rng.uniform(-180, 180, N).astype(np.float32)
+    bmn = rng.uniform(0.1, 4.0, (N, 4, 8)).astype(np.float32)
+    bmn[rng.random((N, 4, 8)) < 0.1] = np.nan
+    pcx, pcy = world_to_cell(jnp.asarray(xg), jnp.asarray(yg),
+                             jnp.asarray(oxn), jnp.asarray(oxn),
+                             UL_PROFILE.map.res_m,
+                             UL_PROFILE.map.width // 2,
+                             UL_PROFILE.map.height // 2)
+    wy0n, wx0n = window_origin(pcx, pcy, DEFAULT_GEOM)
+    r0n, c0n = _snap_align(wy0n, wx0n, DEFAULT_GEOM)
+    srn = DEFAULT_GEOM.win_rows + 8
+    scn = 2 * DEFAULT_GEOM.win_cols
+    slabs = np.stack([padded[i, int(r0n[i]):int(r0n[i]) + srn,
+                             int(c0n[i]):int(c0n[i]) + scn]
+                      for i in range(N)])
+    wins = np.stack([padded[i, int(wy0n[i]):int(wy0n[i]) + DEFAULT_GEOM.win_rows,
+                            int(wx0n[i]):int(wx0n[i]) + DEFAULT_GEOM.win_cols]
+                     for i in range(N)])
+    want_m = jax.jit(jax.vmap(
+        lambda w, y0, x0, b, xi, yi, wi, oxi, oyi: match_window(
+            w, y0, x0, b, xi, yi, wi, oxi, oyi, UL_PROFILE.map,
+            UL_PROFILE.tof, DEFAULT_GEOM)
+    ))(jnp.asarray(wins), wy0n, wx0n, jnp.asarray(bmn), jnp.asarray(xg),
+       jnp.asarray(yg), jnp.asarray(yawg), jnp.asarray(oxn),
+       jnp.asarray(oxn))
+    got_m = jax.jit(lambda *v: match_slabs(*v, UL_PROFILE.map,
+                                           UL_PROFILE.tof, DEFAULT_GEOM))(
+        jnp.asarray(slabs), r0n, c0n, jnp.asarray(bmn), jnp.asarray(xg),
+        jnp.asarray(yg), jnp.asarray(yawg), jnp.asarray(oxn),
+        jnp.asarray(oxn))
+    record("match_lattice_vs_xla",
+           all(_eq(a_, b_) for a_, b_ in zip(got_m, want_m)),
+           f"({time.time()-t0:.1f}s)")
+
     rnd = os.environ.get("MQS_ROUND", "0")
     out = f"TPUCHECK_r{int(rnd):02d}.json"
     results["ok"] = bool(ok_all)
