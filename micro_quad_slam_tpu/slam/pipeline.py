@@ -311,7 +311,8 @@ def _pad_chunk_inputs(beams, poses, sched, B: int, T: int, C: int,
 
 
 def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
-                   grid0=None, use_kernel: bool | None = None):
+                   grid0=None, use_kernel: bool | None = None,
+                   n_iters: int | None = None):
     """Feedback-free pass 1 (SlamConfig.match_feedback=False): within an
     iteration the match map accumulates keyframe scans at FIXED pose
     estimates (iteration 1: raw odometry; iteration i>1: the previous
@@ -464,7 +465,9 @@ def _map_pass_nofb(beams, poses, cfg, geom, kf_every: int, sched,
     one_round = one_round_kernel if use_kernel else one_round_xla
 
     matched = poses
-    for _ in range(max(int(cfg.slam.match_iters), 1)):
+    if n_iters is None:
+        n_iters = int(cfg.slam.match_iters)
+    for _ in range(max(n_iters, 1)):
         _, poses_p, _ = _pad_chunk_inputs(beams, matched, sched, B, T, C,
                                           nc)
         grids, mx, my, myaw = one_round(poses_p)
@@ -878,17 +881,19 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     if upto == 0:
         return odo, sched
 
-    def pass1(est):
+    def pass1(est, n_iters=None):
         """Pass 1 at pose estimates `est`: scan-matched mapping.  Default
         (feedback-free keyframe match map): a match-free chunk scan
         builds the snapshot grids — resident-kernel launches on TPU, XLA
         window updates elsewhere — then every keyframe matches in one
         flat batch (_map_pass_nofb).  The feedback formulation (match
         corrections land on the match map) keeps the keyframe-chunked
-        TPU path / sequential scan pair."""
+        TPU path / sequential scan pair.  n_iters: per-round match
+        iteration override (SlamConfig.match_iters_later)."""
         if cfg.slam.match_map_kf_only and not cfg.slam.match_feedback:
             _, matched = _map_pass_nofb(beams, est, cfg, geom, kf_every,
-                                        sched, grid0=grid0)
+                                        sched, grid0=grid0,
+                                        n_iters=n_iters)
         elif jax.default_backend() == "tpu":
             _, matched = _map_pass_chunked(beams, est, cfg, geom,
                                            kf_every, sched, grid0=grid0)
@@ -920,7 +925,8 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     # Loop edges enter with quality-scaled information and a Huber
     # robust loss (IRLS in gauss_newton) so a bad edge that clears the
     # accept gate degrades gracefully instead of being fully trusted.
-    def build_and_solve(odo_b, matched_b, lij, lz, lok, lq, sc_b):
+    def build_and_solve(odo_b, matched_b, lij, lz, lok, lq, sc_b,
+                        nodes0=None, iters=None):
         g = chain_odometry_graph(odo_b, kf_idx, s.odo_w)
         # per-flight odometry scale (SlamConfig.odo_scale_*): the fitted
         # flow-gain correction rescales the odometry edge translations
@@ -937,8 +943,16 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
                       jnp.asarray(s.loop_w, jnp.float32)[None] *
                       qsc[:, None],
                       mask=lok, huber=s.loop_huber)
-        g = g._replace(nodes=g.nodes.at[0].set(matched_b[kf_idx][0]))
-        g, costs = gauss_newton(g, iters=gn_iters)
+        if nodes0 is not None:
+            # warm start (refine rounds): the previous solution is a far
+            # better initial guess than composed odometry, so the solve
+            # converges in gn_refine_iters < gn_iters steps.  Node 0
+            # stays pinned by gauss_newton's gauge handling.
+            g = g._replace(nodes=nodes0)
+        else:
+            g = g._replace(nodes=g.nodes.at[0].set(matched_b[kf_idx][0]))
+        g, costs = gauss_newton(g, iters=gn_iters if iters is None
+                                else iters)
         return g.nodes, costs
 
 
@@ -956,32 +970,48 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
     est = odo
     sc = jnp.ones((B,), jnp.float32)
     n_outer = max(int(s.slam_outer), 1)
+    it_later = (int(s.match_iters_later)
+                if int(s.match_iters_later) > 0 else None)
+    gn_ref = (int(s.gn_refine_iters)
+              if int(s.gn_refine_iters) > 0 else None)
     for rnd in range(n_outer):
         last = rnd == n_outer - 1
-        matched = pass1(est)
+        matched = pass1(est, n_iters=None if rnd == 0 else it_later)
         if last and upto == 1:
             return matched
         loop_ij, loop_z, loop_ok, loop_q = run_loop(matched[:, kf_idx])
         if last and upto == 2:
             return matched, loop_ij, loop_z, loop_ok
 
-        solve = lambda lij, lz, lok, lq, m=matched, c=sc: jax.vmap(
-            build_and_solve)(odo, m, lij, lz, lok, lq, c)
+        solve = lambda lij, lz, lok, lq, n0=None, it=None, m=matched, \
+            c=sc: jax.vmap(
+                lambda *a: build_and_solve(*a, iters=it)
+            )(odo, m, lij, lz, lok, lq, c,
+              *(() if n0 is None else (n0,)))
         kf_nodes, gn_costs = solve(loop_ij, loop_z, loop_ok, loop_q)
         # refine rounds: the solved keyframe poses are better guesses
         # (and better raster poses) than pass 1's — re-run the loop
         # stage at the solved nodes and re-solve.  Matches that failed
         # or mis-peaked at drift-distorted guesses land on the second
         # try.  lax.scan: one compiled copy of the (large) loop-stage
-        # graph regardless of rounds.
-        n_ref = max(int(s.loop_refine), 0)
+        # graph regardless of rounds.  Non-final rounds run
+        # loop_refine_early rounds (their solve only seeds the next
+        # round's map rebuild); refine solves warm-start from the
+        # previous nodes with gn_refine_iters iterations.
+        n_ref = max(int(s.loop_refine if last else (
+            s.loop_refine_early if int(s.loop_refine_early) >= 0
+            else s.loop_refine)), 0)
         if n_ref:
-            def refine(carry, _):
-                kf_nodes, _ = carry
+            def refine(kf_nodes, _):
                 lij, lz, lok, lq = run_loop(kf_nodes)
-                return solve(lij, lz, lok, lq), None
-            (kf_nodes, gn_costs), _ = lax.scan(
-                refine, (kf_nodes, gn_costs), None, length=n_ref)
+                # warm start is tied to the explicit gn_refine_iters
+                # opt-in: with it unset the refine solve cold-starts
+                # from composed odometry exactly like round 4
+                nodes, _ = solve(lij, lz, lok, lq,
+                                 n0=None if gn_ref is None else kf_nodes,
+                                 it=gn_ref)
+                return nodes, None
+            kf_nodes, _ = lax.scan(refine, kf_nodes, None, length=n_ref)
         if last and upto == 3:
             return kf_nodes, gn_costs
 

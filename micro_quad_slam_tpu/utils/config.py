@@ -303,6 +303,21 @@ class SlamConfig:
     # (better guesses -> matches that failed or mis-peaked at odometry
     # guesses land), and the graph is rebuilt and re-solved.  0 = off.
     loop_refine: int = 3
+    # refine rounds in NON-FINAL outer rounds (-1 = same as loop_refine).
+    # Round-5 cost work: the early rounds' solves only seed the next
+    # round's match-map rebuild, where a coarser solve suffices; the
+    # full refine ladder runs once, on the final round (section profile:
+    # refines were 237 of 452 ms at B=128 — 52% of SLAM latency).
+    loop_refine_early: int = -1
+    # GN iterations for refine-round solves (0 = gn_iters).  Refine
+    # solves start from the PREVIOUS solution (warm start), so they
+    # need fewer iterations than the cold odometry-initialized solve.
+    gn_refine_iters: int = 0
+    # pass-1 match iterations in outer rounds >= 2 (0 = same as
+    # match_iters): round >= 2's `est` is already a loop-consistent
+    # solved track, so one re-match against its rebuilt map recovers
+    # what two iterations buy from raw odometry.
+    match_iters_later: int = 0
     # OUTER global rounds: after a full (pass 1 -> loops -> graph) solve,
     # rebuild the pass-1 match map at the SOLVED track and repeat.  At
     # high drift pass 1 matches against a map distorted by the very
@@ -375,7 +390,15 @@ class PipelineConfig:
 
 
 # Profile matching uav_local_nav.c (full system).
-UL_PROFILE = PipelineConfig(name="ul")
+# Round-5 cost restructure (tools/tune_slam_cost.py, measured on v5e at
+# B=128/T=256 with the fig-8 drift suite): full refine ladders in every
+# outer round were redundant — early rounds' solves only seed the next
+# round's match-map rebuild.  One early refine + warm-started 2-iter
+# refine solves + single pass-1 re-match in rounds >= 2 took SLAM from
+# 72.4 K to 110.8 K frames/s while IMPROVING the barred d=1.12 point
+# (2.29 cm/IoU 0.853 -> 2.18 cm/0.864; bars: <= 5 cm, >= 0.85).
+UL_PROFILE = PipelineConfig(name="ul", slam=SlamConfig(
+    loop_refine_early=1, gn_refine_iters=2, match_iters_later=1))
 
 # Throughput operating point for the SLAM back-end: ONE global round,
 # no post-solve re-match rounds, ONE pass-1 match iteration, two loop

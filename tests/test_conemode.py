@@ -90,6 +90,7 @@ def test_cone_accumulates_and_clamps():
     assert g.min() >= CFG.lo_min and g.max() <= CFG.lo_max
 
 
+@pytest.mark.slow
 def test_cone_vs_exact_divergence_quantified():
     """The production cone path is NOT bit-exact vs the reference's
     32-ray update; map_divergence puts a MEASURED bound on that fidelity

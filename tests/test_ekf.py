@@ -3,6 +3,7 @@ synthetic flights with motion-consistent flow (north star: RMSE <= 1 cm).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from micro_quad_slam_tpu.ops.ekf import (
@@ -84,6 +85,7 @@ def test_fusion_replay_tracks_circle_within_1cm():
     assert np.asarray(track["flow_used"])[1:].all()
 
 
+@pytest.mark.slow
 def test_fusion_replay_line_path():
     log = synth_room_scanlog(n_frames=150, path="line", path_radius_m=3.0,
                              room=(-1.0, -2.0, 5.0, 2.0),
@@ -93,6 +95,7 @@ def test_fusion_replay_line_path():
     assert pose_rmse(track, frames) < 0.01
 
 
+@pytest.mark.slow
 def test_fusion_replay_no_flow_dead_reckons():
     log = synth_room_scanlog(n_frames=30, path="hover", with_flow=False)
     frames = fusion_arrays(log)
@@ -102,6 +105,7 @@ def test_fusion_replay_no_flow_dead_reckons():
     np.testing.assert_allclose(np.asarray(track["x"]), 0.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fusion_batched_matches_single():
     logs = [synth_room_scanlog(n_frames=50, path="circle", with_flow=True,
                                path_radius_m=0.5 + 0.3 * s, seed=s)
@@ -196,6 +200,7 @@ def _noisy_flow_frames(frames, rng, sigma_rate=0.0, quant=0.0,
     return fr
 
 
+@pytest.mark.slow
 def test_fusion_noise_robustness_budget():
     """Quantified RMSE budget (VERDICT round-1 weak item 2): <=1 cm with
     clean flow; <=5 cm with PX4FLOW-realistic degradation (0.05 rad/s

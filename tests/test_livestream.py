@@ -45,6 +45,7 @@ def test_wirecap_replay_bit_matches_scanlog_replay():
                                   np.asarray(outs_s["used"]))
 
 
+@pytest.mark.slow
 def test_wirecap_replay_rotating_flight_agrees():
     """Rotating flight: ATTITUDE carries radians, so yaw roundtrips
     within a ulp — the maps must still agree essentially everywhere."""
@@ -81,6 +82,7 @@ def test_wirecap_no_scans_raises():
         wirecap_to_frames([(CH_FC, 0, b"\xfe")])
 
 
+@pytest.mark.slow
 def test_wirecap_drives_fusion_and_slam():
     """The capture carries everything the EKF fusion and SLAM pipelines
     need — the full offline stack runs from raw bytes."""

@@ -1,6 +1,7 @@
 """Observability + checkpoint utilities."""
 
 import numpy as np
+import pytest
 
 from micro_quad_slam_tpu.utils.checkpoint import (
     latest_checkpoint,
@@ -104,6 +105,7 @@ def test_checkpoint_latest_picks_max(tmp_path):
     assert latest_checkpoint(d) == t2
 
 
+@pytest.mark.slow
 def test_replay_checkpoint_resume_bit_exact(tmp_path):
     """Checkpoint-restart of a long replay (SURVEY.md §5.4): replaying
     two halves with a save/restore roundtrip in between bit-matches an

@@ -209,6 +209,7 @@ def test_frontier_matches_golden():
         np.testing.assert_array_equal(sc_j, sc_g)
 
 
+@pytest.mark.slow
 def test_mxu_kernel_matches_xla():
     """MXU window-IO variant (contiguous row slabs + one-hot bf16 matmul
     column select) must be bit-identical to the XLA path."""
@@ -238,6 +239,7 @@ def test_mxu_kernel_matches_xla():
     np.testing.assert_array_equal(np.asarray(o_m), np.asarray(o_x))
 
 
+@pytest.mark.slow
 def test_mxu_replay_bit_matches_golden():
     from micro_quad_slam_tpu.golden import golden_replay_mapping
     from micro_quad_slam_tpu.replay import replay_mapping_batched, scanlog_to_arrays
@@ -253,6 +255,7 @@ def test_mxu_replay_bit_matches_golden():
         np.asarray(logical_grid(state.grid))[0], mapper.grid)
 
 
+@pytest.mark.slow
 def test_mxu2_replay_bit_matches_golden():
     """The gather-free double-one-hot-matmul kernel (bf16 grid carry)
     must reproduce golden exactly after the int8 cast."""

@@ -65,6 +65,46 @@ def test_pallas_near_saturation_ordering():
     np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
 
 
+def test_resident_kernels_small_bit_match_xla():
+    """FAST default-suite representative of the whole-replay resident
+    kernel family: both generations (pallas_replay_resident v1 and
+    pallas_replay_residentx v2) bit-match the XLA replay on a short
+    2-flight batch that still exercises a mid-flight recenter.  The
+    heavier sweeps (longer flights, cone/hybrid recenter suites, resume,
+    saturating endpoints) run under --runslow; on-hardware equality is
+    tools/check_all_tpu.py."""
+    from micro_quad_slam_tpu.ops.pallas_resident import pallas_replay_resident
+    from micro_quad_slam_tpu.ops.pallas_residentx import (
+        pallas_replay_residentx)
+    from micro_quad_slam_tpu.replay.mapping import (
+        replay_mapping_batched, scanlog_to_arrays)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+
+    logs = [synth_room_scanlog(n_frames=16, seed=3, noise_mm=5.0,
+                               dropout_p=0.05),
+            synth_room_scanlog(n_frames=16, seed=7, noise_mm=4.0)]
+    frames = [scanlog_to_arrays(lg) for lg in logs]
+    batched = {k: np.stack([f[k] for f in frames]) for k in frames[0]}
+    T = batched["x_m"].shape[1]
+    batched["x_m"][1] = np.linspace(0.0, 34.0, T, dtype=np.float32)
+    batched["y_m"][1] = np.linspace(0.0, -21.0, T, dtype=np.float32)
+
+    st_x, outs_x = replay_mapping_batched(batched, UL_PROFILE)
+    assert (np.asarray(outs_x["kf_flags"]) != 0).sum() >= 1  # recentered
+    for entry in (pallas_replay_resident, pallas_replay_residentx):
+        st_r, outs_r = entry(batched, UL_PROFILE, interpret=True)
+        np.testing.assert_array_equal(np.asarray(st_r.grid),
+                                      np.asarray(st_x.grid))
+        np.testing.assert_array_equal(np.asarray(st_r.origin_x),
+                                      np.asarray(st_x.origin_x))
+        for k in outs_x:
+            np.testing.assert_array_equal(np.asarray(outs_r[k]),
+                                          np.asarray(outs_x[k]),
+                                          err_msg=k)
+
+
+@pytest.mark.slow
 def test_resident_replay_bit_matches_xla_with_recenter():
     """Whole-replay resident kernel (interpret): bit-equal grids, origins,
     and outs vs the XLA replay, including mid-flight recentering."""
@@ -103,6 +143,7 @@ def test_resident_replay_bit_matches_xla_with_recenter():
                                       np.asarray(outs_x[k]), err_msg=k)
 
 
+@pytest.mark.slow
 def test_resident_replay_via_engine_selector():
     from micro_quad_slam_tpu.replay.mapping import (
         replay_mapping_batched, scanlog_to_arrays)
@@ -146,6 +187,7 @@ def test_resident_cone_bit_matches_xla_cone():
                                   np.asarray(outs_c["used"]))
 
 
+@pytest.mark.slow
 def test_map_track_matches_xla_map_pass():
     """pallas_map_track (interpret): bit-equal to the SLAM re-raster pass
     (scan of vmapped apply_scan_to_grid, fixed origin, all enabled)."""
@@ -182,6 +224,7 @@ def test_resident_vmem_guard():
         _check_vmem_fit(big)
 
 
+@pytest.mark.slow
 def test_resident_cl_profile_state_enum():
     """Resident kernel honors the CL state enum (HOVER, LANDING = 5, 6)
     exactly like the XLA replay selector."""
@@ -202,6 +245,7 @@ def test_resident_cl_profile_state_enum():
     assert np.asarray(outs_x["used"]).any()  # state 6 = CL LANDING, maps
 
 
+@pytest.mark.slow
 def test_residentx_group_saturating_endpoint():
     """A cell hammered with +6 hits every frame of a group can swing past
     the full clamp range within the group's 256-ray window; the
@@ -238,6 +282,7 @@ def test_residentx_group_saturating_endpoint():
     np.testing.assert_array_equal(np.asarray(st_r.grid), gx)
 
 
+@pytest.mark.slow
 def test_residentx_recenter_in_all_inactive_group():
     """A recenter firing at group frame f >= 1 inside a group with ZERO
     active frames (8 consecutive frames of flow-quality gating failure
@@ -283,6 +328,7 @@ def test_residentx_recenter_in_all_inactive_group():
                                   np.asarray(st_c.grid))
 
 
+@pytest.mark.slow
 def test_conex_replay_bit_matches_xla_cone_with_recenter():
     """Grouped cone kernel (interpret): bit-equal grids vs the XLA cone
     path, mid-flight recentering (fallback groups) included."""
@@ -316,6 +362,7 @@ def test_conex_replay_bit_matches_xla_cone_with_recenter():
                                       np.asarray(outs_c[k]), err_msg=k)
 
 
+@pytest.mark.slow
 def test_hybridx_replay_bit_matches_xla_hybrid_with_recenter():
     """Grouped HYBRID kernel (interpret): bit-equal grids vs the XLA
     hybrid path (conemode.hybrid_scan_update), mid-flight recentering
@@ -350,6 +397,7 @@ def test_hybridx_replay_bit_matches_xla_hybrid_with_recenter():
                                       np.asarray(outs_c[k]), err_msg=k)
 
 
+@pytest.mark.slow
 def test_conex_resume_bit_exact():
     """conex checkpoint-resume: a split replay equals the unbroken one."""
     from micro_quad_slam_tpu.replay.mapping import (
@@ -369,6 +417,7 @@ def test_conex_resume_bit_exact():
                                   np.asarray(st_full.grid))
 
 
+@pytest.mark.slow
 def test_map_step_matches_xla():
     """pallas_map_step (the simulator scan tick's slab kernel,
     models/simulator.py) is bit-identical to vmapped apply_scan_to_grid:

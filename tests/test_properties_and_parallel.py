@@ -69,6 +69,7 @@ def test_replay_is_deterministic():
     np.testing.assert_array_equal(np.asarray(s1.grid), np.asarray(s2.grid))
 
 
+@pytest.mark.slow
 def test_cl_profile_gates_differ():
     # flow quality 40: UL (>=50) must skip mapping, CL (>=30) must map
     log = synth_room_scanlog(n_frames=6, seed=3)
@@ -83,6 +84,7 @@ def test_cl_profile_gates_differ():
 
 # ------------------------------ sharding ----------------------------------
 
+@pytest.mark.slow
 def test_sharded_replay_matches_unsharded():
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
     logs = [synth_room_scanlog(n_frames=10, seed=s, path="hover",
@@ -127,6 +129,7 @@ def test_sharded_resident_kernel_matches_unsharded():
     assert len(s_state.grid.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_fusion_matches_unsharded():
     """EKF fusion under GSPMD over the 8-device mesh: bit-identical
     tracks and covariances (VERDICT round-1 missing item 4)."""
@@ -154,6 +157,7 @@ def test_sharded_fusion_matches_unsharded():
     assert len(s_state.mean.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_slam_matches_unsharded():
     """Full SLAM pipeline under shard_map (pallas re-raster included):
     bit-identical maps, tracks, and GN costs per flight."""
@@ -183,6 +187,7 @@ def test_sharded_slam_matches_unsharded():
     assert len(s_res.grid.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_sim_matches_unsharded():
     """Closed-loop swarm sim under GSPMD over the mesh: the jax.random
     noise streams depend only on global shapes, which GSPMD preserves,

@@ -3,6 +3,7 @@ against the golden model (SURVEY.md §4 items 2 & 4).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -81,6 +82,7 @@ def test_replay_gates_respected():
     np.testing.assert_array_equal(grid_j, mapper.grid)
 
 
+@pytest.mark.slow
 def test_replay_never_inits_on_ground_states():
     log = synth_room_scanlog(n_frames=8, state=1, seed=19)  # ST_IDLE
     grid_j, state, outs = _run_one(log)
@@ -89,6 +91,7 @@ def test_replay_never_inits_on_ground_states():
     assert grid_j.sum() == 0
 
 
+@pytest.mark.slow
 def test_batched_replay_matches_per_log():
     # N different logs vmapped => per-log equality with single-replay
     logs = [
@@ -109,6 +112,7 @@ def test_batched_replay_matches_per_log():
         )
 
 
+@pytest.mark.slow
 def test_batched_replay_identical_logs_identical_maps():
     log = synth_room_scanlog(n_frames=10, seed=23, noise_mm=5.0)
     f = scanlog_to_arrays(log)
@@ -136,6 +140,7 @@ def test_cl_profile_replay_uses_cl_state_enum():
     assert not bool(state.inited)
 
 
+@pytest.mark.slow
 def test_cli_multi_log_replay_matches_solo(tmp_path):
     """mqs replay with several logs of MIXED lengths runs one batched
     launch; each per-log map is bit-identical to that log's solo replay

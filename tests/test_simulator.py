@@ -73,6 +73,7 @@ def test_swarm_mission_builds_maps():
     assert int(st.scan_count) == 1500 * 20 // 100
 
 
+@pytest.mark.slow
 def test_swarm_lanes_independent():
     # lane 0 of a 4-swarm must equal lane 0 of a 1-swarm (same key slice
     # semantics aside: use identical worlds and keys by running twice)
@@ -86,6 +87,7 @@ def test_swarm_lanes_independent():
     np.testing.assert_array_equal(np.asarray(st1.mapper.grid), np.asarray(st2.mapper.grid))
 
 
+@pytest.mark.slow
 def test_sim_recording_roundtrips_through_replay(tmp_path):
     """Record a sim flight, write reference-format scanlog.bin, replay it
     through the mapping engine: the replayed map must resemble the sim's
@@ -119,6 +121,7 @@ def test_sim_recording_roundtrips_through_replay(tmp_path):
     assert inter / max(union, 1) > 0.5, (inter, union)
 
 
+@pytest.mark.slow
 def test_vision_flow_mission():
     """Config-3 end-to-end: the swarm flies on REAL pyramidal LK optical
     flow computed from rendered downward-camera frames instead of the

@@ -4,6 +4,7 @@ replay (BASELINE config 4).
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from micro_quad_slam_tpu.ops.scanmatch import match_scan
@@ -246,6 +247,7 @@ def test_pallas_match_lattice_matches_xla():
                                       err_msg=name)
 
 
+@pytest.mark.slow
 def test_loop_kernel_matches_xla():
     """The TPU loop-closure path (one flat pallas lattice-matcher batch
     over all B*n_cand*K candidate matches, slam/pipeline.py::_loop_stage
@@ -319,6 +321,7 @@ def _drifty_frames(T=120, bias=1.06, seed=0):
     return {k: v[None] for k, v in f.items()}, log
 
 
+@pytest.mark.slow
 def test_slam_reduces_drift():
     frames, log = _drifty_frames()
     res = slam_replay(frames, UL_PROFILE, GEOM, 10, 8)
@@ -334,6 +337,7 @@ def test_slam_reduces_drift():
     assert (g > 10).sum() > 30
 
 
+@pytest.mark.slow
 def test_slam_batched_flights_use_their_own_origins():
     """B > 1 regression: scan-matching must use each flight's own map
     origin (a closure bug made this crash/broadcast wrongly for B > 1).
@@ -354,6 +358,7 @@ def test_slam_batched_flights_use_their_own_origins():
     assert np.allclose(dx, 5.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_slam_fig8_loop_closure_fires_and_corrects():
     """Figure-8 revisit trajectory (VERDICT round-1 missing item 4): the
     proximity-gated keyframe-to-keyframe matcher must produce real loop
@@ -404,6 +409,7 @@ def test_slam_fig8_loop_closure_fires_and_corrects():
     assert int(np.asarray(lok).sum()) >= 1, "no loop edge accepted"
 
 
+@pytest.mark.slow
 def test_slam_fig8_high_drift_absolute_accuracy():
     """At ~12% flow-scale drift the solved track must meet ABSOLUTE
     bars — tail error <= 5 cm and wall IoU >= 0.85 (VERDICT round 3,
@@ -448,6 +454,7 @@ def test_slam_fig8_high_drift_absolute_accuracy():
     assert iou_slam > iou_odo, (iou_slam, iou_odo)
 
 
+@pytest.mark.slow
 def test_slam_odo_track_equals_fusion_track():
     """The SLAM odometry track IS the fusion replay track, bit-for-bit —
     one EKF code path, one seeding policy (VERDICT round 2, weak 6)."""
@@ -475,6 +482,7 @@ def _long_excursion_log(T=110, far=26.0):
         room=(-1.5, -1.5, 28.0, 1.5), with_flow=True, seed=11)
 
 
+@pytest.mark.slow
 def test_slam_recenter_schedule_matches_mapping_replay():
     """The grid-free origin schedule reproduces the mapping replay's
     recenter decisions EXACTLY for the same pose track (same decide +
@@ -498,6 +506,7 @@ def test_slam_recenter_schedule_matches_mapping_replay():
     assert int(np.asarray(sched["rsx"])[0, k]) == 125
 
 
+@pytest.mark.slow
 def test_slam_long_excursion_recenters_and_map_survives():
     """End to end (VERDICT round 2, missing 3): a flight straying ~17 m
     recenters the SLAM grid like the mapping replay instead of silently
@@ -543,6 +552,7 @@ def test_slam_long_excursion_recenters_and_map_survives():
     assert occ_near_east_wall(g_off, float(res_off.origin[0][0])) == 0
 
 
+@pytest.mark.slow
 def test_slam_chunked_kf_only_matches_sequential():
     """The TPU chunked pass 1 (keyframe-only match map, recenter
     schedule COMPOSED per keyframe interval) is bit-equal to the
@@ -582,6 +592,7 @@ def test_slam_chunked_kf_only_matches_sequential():
     np.testing.assert_array_equal(np.asarray(m_chk), np.asarray(m_seq))
 
 
+@pytest.mark.slow
 def test_slam_nofb_kernel_matches_xla():
     """The feedback-free pass 1 (_map_pass_nofb — the default since
     SlamConfig.match_feedback=False) must produce identical grids and
@@ -628,6 +639,7 @@ def test_slam_nofb_kernel_matches_xla():
     assert not np.array_equal(np.asarray(m_x), np.asarray(odo))
 
 
+@pytest.mark.slow
 def test_slam_feedback_ab_holds_accuracy():
     """Accuracy A/B for SlamConfig.match_feedback: the FEEDBACK
     formulation (each keyframe's correction lands on the grid later
@@ -651,6 +663,7 @@ def test_slam_feedback_ab_holds_accuracy():
             odo_err[-20:].mean(), slam_err[-20:].mean())
 
 
+@pytest.mark.slow
 def test_cli_slam_exports_track_and_pgm(tmp_path):
     """mqs slam --track/--pgm: CSV has corrected + odometry columns for
     every frame, and the PGM parses as a trinary occupancy image."""
