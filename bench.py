@@ -4,14 +4,15 @@ Measures the framework's headline metric (BASELINE.md north star:
 >= 1,000,000 fused frames/sec on one TPU v5e chip): B independent flight
 replays, each frame doing beam extraction + gating + a fused map update.
 
-By default prints FIVE JSON lines {"metric", "value", "unit",
-"vs_baseline", ...}: first `residentx` — the BIT-EXACT
+By default prints SIX JSON lines {"metric", "value", "unit",
+"vs_baseline", "checksum", ...}: first `residentx` — the BIT-EXACT
 reference-semantics whole-replay kernel (the headline number;
 ops/pallas_residentx.py, grids bit-match the golden C model) — then
 `hybridx`, the PRODUCTION mode (dense free-space carve + the
 reference's exact endpoint occupied semantics; occ-IoU 1.0/tol-0 vs the
-exact path on the divergence suites, tests/test_conemode.py), then one
-line each for SLAM replay, EKF fusion, and the closed-loop swarm
+exact path on the divergence suites, tests/test_conemode.py), then
+SLAM at the accuracy defaults (B=128), SLAM at the UL_RT throughput
+operating point (B=256), EKF fusion, and the closed-loop swarm
 simulator (MQS_BENCH_FULL=0 restores the two-line mapping-only bench).
 vs_baseline is the multiple of the reference pipeline's own fused-frame
 rate (~10 frames/s on the companion SBC, BASELINE.md).
@@ -80,17 +81,20 @@ def bench_swarm(B: int, T: int, reps: int) -> None:
           f"checksum={checksum}", file=sys.stderr)
 
 
-def bench_slam(B: int, T: int, reps: int) -> None:
+def bench_slam(B: int, T: int, reps: int, profile: str = "acc") -> None:
     """Full SLAM replay (odo -> pass1 match -> loop closure -> pose graph
     -> re-raster) frames/s — driver-visible so regressions in the SLAM
-    stack show up in BENCH_r{N}.json (VERDICT round 3, weak 5)."""
+    stack show up in BENCH_r{N}.json (VERDICT round 3, weak 5).
+    profile: "acc" = UL_PROFILE accuracy defaults; "rt" = UL_RT_PROFILE
+    throughput operating point (single global round)."""
     import jax
     from micro_quad_slam_tpu.replay.fusion import fusion_arrays
     from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
     from micro_quad_slam_tpu.sim import synth_room_scanlog
     from micro_quad_slam_tpu.slam.pipeline import slam_replay
-    from micro_quad_slam_tpu.utils.config import UL_PROFILE
+    from micro_quad_slam_tpu.utils.config import UL_PROFILE, UL_RT_PROFILE
 
+    prof = UL_RT_PROFILE if profile == "rt" else UL_PROFILE
     logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
                                noise_mm=6.0, with_flow=True)
             for s in range(4)]
@@ -100,23 +104,25 @@ def bench_slam(B: int, T: int, reps: int) -> None:
     import jax.numpy as jnp
     bd = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
     sync_scalar(bd["x_m"])
-    res = slam_replay(bd, UL_PROFILE)
+    res = slam_replay(bd, prof)
     checksum = sync_scalar(res.grid)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = slam_replay(bd, UL_PROFILE)
+        res = slam_replay(bd, prof)
         checksum = sync_scalar(res.grid)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     print(json.dumps({
-        "metric": "slam_frames_per_sec_per_chip",
+        "metric": ("slam_frames_per_sec_per_chip" if profile == "acc"
+                   else "slam_rt_frames_per_sec_per_chip"),
         "value": round(B * T / dt, 1),
         "unit": "frames/s",
         "vs_baseline": round(B * T / dt / 10.0, 1),  # ref fused rate
         "checksum": checksum,
     }))
-    print(f"# slam B={B} T={T} best={dt*1e3:.1f} ms", file=sys.stderr)
+    print(f"# slam[{profile}] B={B} T={T} best={dt*1e3:.1f} ms",
+          file=sys.stderr)
 
 
 def bench_ekf(B: int, T: int, reps: int) -> None:
@@ -273,6 +279,8 @@ def main() -> None:
     if os.environ.get("MQS_BENCH_FULL", "1") == "1" and not pinned:
         bench_slam(int(os.environ.get("MQS_BENCH_SLAM_B", "128")), T,
                    max(reps - 1, 1))
+        bench_slam(int(os.environ.get("MQS_BENCH_SLAM_RT_B", "256")), T,
+                   max(reps - 1, 1), profile="rt")
         bench_ekf(int(os.environ.get("MQS_BENCH_EKF_B", "1024")), T,
                   max(reps - 1, 1))
         bench_swarm(int(os.environ.get("MQS_BENCH_SWARM_B", "1024")),
