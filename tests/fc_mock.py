@@ -51,6 +51,14 @@ class Scenario:
     kill_at_ms: int = 10 ** 9        # FC-side unexpected disarm
     front_wall_m: float = 3.0        # initial front clearance
     tick_ms: int = 20
+    # FC overshoots the takeoff/hold target by this much (m) while
+    # t < overshoot_until_ms: drives the quad past the ceiling latch
+    # (UL 0.70 m / CL 0.90 m) so the ceiling-override branches fire
+    # (uav_local_nav.c:2025-2028, clean:2404-2419), then decays so the
+    # release hysteresis (-0.10 m) is exercised too — without it no
+    # scenario ever reaches either branch
+    alt_overshoot_m: float = 0.0
+    overshoot_until_ms: int = 10 ** 9
 
 
 class FcMock:
@@ -149,7 +157,13 @@ class FcMock:
             if self.mode == MODE_LAND:
                 self.alt = max(0.0, self.alt - 0.35 * dt)
             elif self.takeoff_active:
-                self.alt = min(self.takeoff_target + 0.02, self.alt + 0.45 * dt)
+                over = (sc.alt_overshoot_m if t < sc.overshoot_until_ms
+                        else 0.0)
+                cap = self.takeoff_target + 0.02 + over
+                if self.alt < cap:
+                    self.alt = min(cap, self.alt + 0.45 * dt)
+                else:   # overshoot expired: sink back toward the target
+                    self.alt = max(cap, self.alt - 0.25 * dt)
             elif self.climb:
                 self.alt = max(0.0, self.alt + self.climb * dt)
             elif self.z_target is not None:

@@ -189,6 +189,8 @@ SCENARIOS = [
     Scenario(seed=18, sys_glitch_ms=(8000, 8600)),
     Scenario(seed=19, link_loss_ms=(5000, 6000)),
     Scenario(seed=20, kill_at_ms=11000),
+    # ceiling latch/descend-override/release (uav:2025-2028; round 5)
+    Scenario(seed=21, alt_overshoot_m=0.25, overshoot_until_ms=9000),
 ]
 
 
@@ -197,7 +199,7 @@ SCENARIOS = [
 # the golden side itself is machine-checked against the compiled
 # reference C every default run (test_control_tick_vs_c.py)
 @pytest.mark.parametrize(
-    "sc", [(s if s.seed in (11, 14, 15) else
+    "sc", [(s if s.seed in (11, 14, 15, 21) else
             pytest.param(s, marks=pytest.mark.slow)) for s in SCENARIOS],
     ids=lambda s: f"seed{getattr(s, 'seed', s)}")
 def test_jax_matches_golden_trace(sc):

@@ -115,6 +115,8 @@ CL_SCENARIOS = [
     Scenario(seed=46, lpos_dropout_ms=(12000, 19000)),
     Scenario(seed=47, rf_dropout_ms=(9000, 10000)),
     Scenario(seed=48, kill_at_ms=11000),
+    # ceiling latch/override/release (clean:2404-2419; round 5)
+    Scenario(seed=49, alt_overshoot_m=0.60, overshoot_until_ms=9000),
 ]
 
 

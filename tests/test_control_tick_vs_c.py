@@ -206,7 +206,34 @@ CT_SCENARIOS = [
     Scenario(seed=18, sys_glitch_ms=(8000, 8600)),
     Scenario(seed=19, link_loss_ms=(5000, 6000)),
     Scenario(seed=20, kill_at_ms=11000),
+    # FC overshoots past the 0.70 m ceiling, then sinks: exercises the
+    # ceiling-override early-return (descend cmd, uav_local_nav.c:
+    # 2025-2028) AND the release hysteresis (<= 0.60 m) — no other
+    # scenario ever reaches either branch (round-5 coverage fix)
+    Scenario(seed=21, alt_overshoot_m=0.25, overshoot_until_ms=9000),
 ]
+
+
+def test_control_tick_ceiling_branch_fires(ct_so):
+    """Coverage guard: the overshoot scenario must actually latch AND
+    release the ceiling in the C trace (oi[4])."""
+    sc = CT_SCENARIOS[-1]
+    telems, _ = run_scenario(sc, n_ticks=1100)
+    for tm in telems:
+        tm.motor_avg = float(int(round(tm.motor_avg)))
+    lib = refshim_ct.load_shim_ct(ct_so, fresh=True)
+    oi = (ctypes.c_int64 * 8)()
+    of = (ctypes.c_float * 8)()
+    recs = (ctypes.c_float * (64 * 13))()
+    nrec = ctypes.c_int64()
+    ceil_trace = []
+    for tm in telems:
+        I, F = _telem_arrays(tm)
+        lib.ct_set_telem(I, F)
+        lib.ct_tick(tm.t_ms, oi, of, recs, ctypes.byref(nrec))
+        ceil_trace.append(bool(oi[4]))
+    assert any(ceil_trace), "ceiling never latched"
+    assert not ceil_trace[-1], "ceiling never released"
 
 
 @pytest.mark.parametrize("sc", CT_SCENARIOS, ids=lambda s: f"seed{s.seed}")

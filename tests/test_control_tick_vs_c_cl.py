@@ -210,7 +210,35 @@ CLCT_SCENARIOS = [
     Scenario(seed=59, link_loss_ms=(5000, 6000)),
     Scenario(seed=60, kill_at_ms=11000),
     Scenario(seed=61, lpos_dropout_ms=(9000, 14000)),  # stale -> LANDING
+    # FC overshoots past the 0.90 m ceiling then sinks: the CL ceiling
+    # override (pos-hold-if-locked / Z-only clamp, clean:2404-2419) and
+    # the alt_max-based release (<= 0.80 m) fire — no other scenario
+    # reaches them (round-5 coverage fix)
+    Scenario(seed=62, alt_overshoot_m=0.60, overshoot_until_ms=9000),
 ]
+
+
+def test_clean_control_tick_ceiling_branch_fires(clct_so):
+    """Coverage guard: the overshoot scenario must latch AND release the
+    ceiling in the C trace (oi[4])."""
+    sc = CLCT_SCENARIOS[-1]
+    telems, _ = run_scenario(sc, n_ticks=1100,
+                             machine=GoldenBehaviorCL())
+    for tm in telems:
+        tm.motor_avg = float(int(round(tm.motor_avg)))
+    lib = refshim_ct_cl.load_shim_ct_cl(clct_so, fresh=True)
+    oi = (ctypes.c_int64 * 8)()
+    of = (ctypes.c_float * 8)()
+    recs = (ctypes.c_float * (64 * 13))()
+    nrec = ctypes.c_int64()
+    ceil_trace = []
+    for tm in telems:
+        I, F = _telem_arrays(tm)
+        lib.clct_set_telem(I, F)
+        lib.clct_tick(tm.t_ms, oi, of, recs, ctypes.byref(nrec))
+        ceil_trace.append(bool(oi[4]))
+    assert any(ceil_trace), "ceiling never latched"
+    assert not ceil_trace[-1], "ceiling never released"
 
 
 @pytest.mark.parametrize("sc", CLCT_SCENARIOS, ids=lambda s: f"seed{s.seed}")
