@@ -10,6 +10,14 @@ jax's config has cached the platform before conftest runs — mutating
 os.environ here is too late.  jax.config.update is the only reliable
 override.  Set MQS_TEST_PLATFORM=axon to deliberately run the suite on
 the real TPU.
+
+KNOWN ISSUE (round 5): a full `--runslow` run in ONE process can die
+with a segfault inside XLA:CPU `backend_compile` after ~45 min of
+accumulated compilation state (reproduced twice at
+test_slam_fig8_loop_closure_fires_and_corrects at ~80%; the same test
+passes standalone in <5 min).  Run the slow set in per-file chunks
+(`pytest tests/<file>.py --runslow -m slow`) — the default (non-slow)
+suite is unaffected and green in one process (~10 min).
 """
 
 import os
