@@ -87,22 +87,12 @@ def bench_slam(B: int, T: int, reps: int, profile: str = "acc") -> None:
     stack show up in BENCH_r{N}.json (VERDICT round 3, weak 5).
     profile: "acc" = UL_PROFILE accuracy defaults; "rt" = UL_RT_PROFILE
     throughput operating point (single global round)."""
-    import jax
-    from micro_quad_slam_tpu.replay.fusion import fusion_arrays
-    from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
-    from micro_quad_slam_tpu.sim import synth_room_scanlog
     from micro_quad_slam_tpu.slam.pipeline import slam_replay
     from micro_quad_slam_tpu.utils.config import UL_PROFILE, UL_RT_PROFILE
 
     prof = UL_RT_PROFILE if profile == "rt" else UL_PROFILE
-    logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
-                               noise_mm=6.0, with_flow=True)
-            for s in range(4)]
-    fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
-    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * (B // 4 + 1))[:B]
-         for k in fr[0]}
-    import jax.numpy as jnp
-    bd = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
+    from micro_quad_slam_tpu.sim import slam_bench_frames
+    bd = slam_bench_frames(B, T)
     sync_scalar(bd["x_m"])
     res = slam_replay(bd, prof)
     checksum = sync_scalar(res.grid)

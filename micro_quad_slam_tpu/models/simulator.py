@@ -240,16 +240,17 @@ def sim_init(batch: int, key=None, geom: GridGeom = DEFAULT_GEOM,
     if airborne:
         alt = jnp.full((batch,), hover_alt_m, jnp.float32)
         fc = fc._replace(armed=jnp.ones((batch,), bool),
-                         mode=jnp.full((batch,), 4, jnp.int32),
+                         mode=jnp.full((batch,), MODE_GUIDED, jnp.int32),
                          motor=jnp.full((batch,), 1500.0, jnp.float32))
-        from micro_quad_slam_tpu.models.behavior import ST_EXPLORE
+        from micro_quad_slam_tpu.models.behavior import (
+            ALT_RF, MODE_GUIDED, ST_EXPLORE)
         tb = lambda v: jnp.full((batch,), v)
         beh = beh._replace(
             st=jnp.full((batch,), ST_EXPLORE, jnp.int32),
             yaw_tv=tb(True), yaw_t=yaw0,
             hover_valid=tb(True), hover_x=x0, hover_y=y0,
             hover_z=-alt, hover_yaw=yaw0,
-            alt_est=alt, alt_src=jnp.full((batch,), 2, jnp.int32),
+            alt_est=alt, alt_src=jnp.full((batch,), ALT_RF, jnp.int32),
             to_sent=tb(True), to_started=tb(True), armed_prev=tb(True),
             xy_since=jnp.ones((batch,), beh.xy_since.dtype))
         mapper = mapper._replace(inited=jnp.ones((batch,), bool),

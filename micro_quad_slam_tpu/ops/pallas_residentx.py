@@ -538,13 +538,14 @@ def _fix_pass(wv2, exa_r, eya_r, val_r, wx_c, wy_c, cfg: MapConfig,
 def _apply_rays(wv2, exa_r, eya_r, val_r, wx_c, wy_c, slab, cwl,
                 cfg: MapConfig, geom: GridGeom, ablate: str = ""):
     """Full window update for R rays on the [96, 256] aligned slab (in
-    place): count + endpoint fix-up, packed into two i32 bitfield words
-    (W1 = cnt:10 | mask:1 | s+4096:13; W2 = (A-lo):8 | (B-lo):8 — ranges
-    exact for R <= 512 rays) and moved to slab lane coordinates with ONE
-    dynamic roll of the stacked [2*96, 256] pair.  cwl: window lane base
-    within the slab (all fields are positive, so the arithmetic >>
-    unpacking stays exact).  ablate: explicit profiling knob (RxOpts) —
-    never read from the environment here."""
+    place): count + endpoint fix-up folded into ONE clamp-affine map per
+    window cell, packed into a single i32 word
+    (s'+8192 : 14 bits | A-lo_min : 8 | B-lo_min : 8 — ranges exact for
+    R <= 512 rays and lo_free_dec <= 16; all fields non-negative so the
+    arithmetic >> unpacking stays exact) and moved to slab lane
+    coordinates with ONE dynamic [96, 256] roll.  cwl: window lane base
+    within the slab.  ablate: explicit profiling knob (RxOpts) — never
+    read from the environment here."""
     _abl = ablate
     cnt = (jnp.zeros((geom.win_rows, geom.win_cols), jnp.int32)
            if "count" in _abl else _count_pass(wv2, wx_c, wy_c, geom))
@@ -891,14 +892,17 @@ def _residentx_snap_kernel(ws_ref, wv_ref, grid_ref, out_ref, snap_ref,
 # entry points
 # ----------------------------------------------------------------------
 
-def _rx_scratch_bytes(opts: RxOpts, F: int | None = None) -> int:
+def _rx_scratch_bytes(opts: RxOpts, F: int | None = None,
+                      geom: GridGeom | None = None) -> int:
     """VMEM bytes the residentx kernels use BEYOND the resident grid:
     the sticky slab, and (inner path) the double-buffered word scratch
     pair — so _check_vmem_fit rejects oversized geometries with a clear
-    error instead of an opaque Mosaic compile failure (ADVICE round
-    4)."""
+    error instead of an opaque Mosaic compile failure (ADVICE round 4).
+    Uses the GEOMETRY's slab size (a longer-range MapConfig grows
+    win_rows) and opts.chunk as an upper bound on the snapped C."""
     F = group_f() if F is None else F
-    slab = 96 * 256
+    g = DEFAULT_GEOM if geom is None else geom
+    slab = g.win_rows * 2 * g.win_cols
     if not opts.inner:
         return slab
     return slab + 2 * max(1, int(opts.chunk)) * F * 32 * 128 * 4
@@ -920,7 +924,7 @@ def pallas_replay_residentx(frames: dict, cfg: PipelineConfig = UL_PROFILE,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _check_vmem_fit(geom, extra_bytes=_rx_scratch_bytes(opts))
+    _check_vmem_fit(geom, extra_bytes=_rx_scratch_bytes(opts, geom=geom))
     return _replay_residentx_jit(frames, cfg, geom, interpret, state0,
                                  opts)
 
@@ -1027,7 +1031,7 @@ def pallas_map_track_x(beams, x, y, yaw_deg, origin_x, origin_y,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _check_vmem_fit(geom, extra_bytes=_rx_scratch_bytes(opts))
+    _check_vmem_fit(geom, extra_bytes=_rx_scratch_bytes(opts, geom=geom))
     return _map_track_x_jit(beams, x, y, yaw_deg, origin_x, origin_y,
                             cfg, geom, interpret, opts)
 

@@ -1,1 +1,2 @@
-from micro_quad_slam_tpu.sim.synthio import synth_room_scanlog, room_tof_distance  # noqa: F401
+from micro_quad_slam_tpu.sim.synthio import (  # noqa: F401
+    room_tof_distance, slam_bench_frames, synth_room_scanlog)

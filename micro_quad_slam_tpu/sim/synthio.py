@@ -185,3 +185,29 @@ def synth_room_scanlog(
         sys_health=np.zeros(T, np.uint32),
         grid_mm=grid,
     )
+
+
+def slam_bench_frames(B: int, T: int, device_put: bool = True) -> dict:
+    """The CANONICAL SLAM/EKF benchmark workload: 4 distinct drift-free
+    circle flights with flow, replicated to B with identical content.
+    ONE definition shared by bench.py (the driver record),
+    tools/tune_slam_cost.py (which picks UL defaults against it), and
+    tools/prof_slam_sections_tpu.py — a workload tweak here changes all
+    three together instead of silently desynchronizing them (round-5
+    review finding)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from micro_quad_slam_tpu.replay.fusion import fusion_arrays
+    from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
+
+    logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
+                               noise_mm=6.0, with_flow=True)
+            for s in range(4)]
+    fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
+    nrep = -(-B // 4)
+    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * nrep)[:B]
+         for k in fr[0]}
+    if not device_put:
+        return b
+    return {k: _jax.device_put(_jnp.asarray(v)) for k, v in b.items()}

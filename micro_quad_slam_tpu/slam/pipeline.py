@@ -1002,16 +1002,26 @@ def _slam_impl(frames: dict, cfg: PipelineConfig, geom: GridGeom,
             s.loop_refine_early if int(s.loop_refine_early) >= 0
             else s.loop_refine)), 0)
         if n_ref:
-            def refine(kf_nodes, _):
+            def refine(carry, _):
+                kf_nodes, costs_prev = carry
                 lij, lz, lok, lq = run_loop(kf_nodes)
                 # warm start is tied to the explicit gn_refine_iters
                 # opt-in: with it unset the refine solve cold-starts
                 # from composed odometry exactly like round 4
-                nodes, _ = solve(lij, lz, lok, lq,
-                                 n0=None if gn_ref is None else kf_nodes,
-                                 it=gn_ref)
-                return nodes, None
-            kf_nodes, _ = lax.scan(refine, kf_nodes, None, length=n_ref)
+                nodes, costs = solve(
+                    lij, lz, lok, lq,
+                    n0=None if gn_ref is None else kf_nodes, it=gn_ref)
+                # keep SlamResult.gn_costs describing the SAME solve
+                # that produced the returned nodes: shorter warm solves
+                # pad their cost trace to the cold solve's width with NaN
+                if costs.shape[1] < costs_prev.shape[1]:
+                    costs = jnp.pad(
+                        costs,
+                        ((0, 0), (0, costs_prev.shape[1] - costs.shape[1])),
+                        constant_values=jnp.nan)
+                return (nodes, costs), None
+            (kf_nodes, gn_costs), _ = lax.scan(
+                refine, (kf_nodes, gn_costs), None, length=n_ref)
         if last and upto == 3:
             return kf_nodes, gn_costs
 

@@ -321,6 +321,43 @@ def _drifty_frames(T=120, bias=1.06, seed=0):
     return {k: v[None] for k, v in f.items()}, log
 
 
+def test_slam_small_end_to_end():
+    """FAST default-suite representative of the FULL slam_replay
+    pipeline (round-5 review finding: every e2e SLAM test had been
+    slow-marked, leaving the default run blind to regressions in the
+    very stages the round restructured).  Small workload (B=2, T=60)
+    checking drift non-degradation, per-flight origins (the B>1
+    closure-bug class), and a wall-bearing corrected map.  The profile
+    is trimmed to 2 outer rounds / 1 refine so the CPU compile stays
+    fast while BOTH the early-round (loop_refine_early, warm-started
+    gn_refine_iters, match_iters_later) and final-round branches
+    execute; the heavier accuracy-bar and equivalence suites run under
+    --runslow."""
+    import dataclasses
+    prof = dataclasses.replace(UL_PROFILE, slam=dataclasses.replace(
+        UL_PROFILE.slam, slam_outer=2, loop_refine=1,
+        loop_refine_early=1, gn_refine_iters=2, match_iters_later=1))
+    frames1, log = _drifty_frames(T=60, seed=3)
+    shifted = {k: v.copy() for k, v in frames1.items()}
+    shifted["x_m"] = shifted["x_m"] + np.float32(5.0)
+    batched = {k: np.concatenate([frames1[k], shifted[k]])
+               for k in frames1}
+    res = slam_replay(batched, prof, GEOM, 10, 4)
+    truth = np.stack([log.x_m, log.y_m], -1)
+    odo_err = np.hypot(*(np.asarray(res.odo_track)[0, :, :2] - truth).T)
+    slam_err = np.hypot(*(np.asarray(res.track)[0, :, :2] - truth).T)
+    assert slam_err[-15:].mean() <= odo_err[-15:].mean() + 1e-6, (
+        odo_err[-15:].mean(), slam_err[-15:].mean())
+    g = np.asarray(logical_grid(res.grid))
+    assert g.shape[0] == 2
+    assert (g[0] > 10).sum() > 20            # walls present
+    np.testing.assert_array_equal(g[0], g[1])  # own origins: same map
+    dx = np.asarray(res.track)[1, :, 0] - np.asarray(res.track)[0, :, 0]
+    assert np.allclose(dx, 5.0, atol=1e-3)
+    # gn_costs describes the solve that produced the returned nodes
+    assert np.asarray(res.gn_costs).shape[0] == 2
+
+
 @pytest.mark.slow
 def test_slam_reduces_drift():
     frames, log = _drifty_frames()

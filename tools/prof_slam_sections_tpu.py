@@ -53,14 +53,8 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     print("backend:", jax.devices()[0].platform, flush=True)
-    logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
-                               noise_mm=6.0, with_flow=True)
-            for s in range(4)]
-    fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
-    nrep = -(-B // 4)
-    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * nrep)[:B]
-         for k in fr[0]}
-    bd = {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
+    from micro_quad_slam_tpu.sim import slam_bench_frames
+    bd = slam_bench_frames(B, T)
     sync(bd["x_m"])
 
     line = lambda tag, dt: print(

@@ -59,14 +59,8 @@ def accuracy(prof, frames, truth):
 
 
 def bench_frames(B, T):
-    logs = [synth_room_scanlog(n_frames=T, seed=s, path="circle",
-                               noise_mm=6.0, with_flow=True)
-            for s in range(4)]
-    fr = [{**scanlog_to_arrays(lg), **fusion_arrays(lg)} for lg in logs]
-    nrep = -(-B // 4)
-    b = {k: np.concatenate([np.stack([f[k] for f in fr])] * nrep)[:B]
-         for k in fr[0]}
-    return {k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
+    from micro_quad_slam_tpu.sim import slam_bench_frames
+    return slam_bench_frames(B, T)
 
 
 def throughput(prof, bd, B, T, reps=3):
