@@ -316,7 +316,10 @@ class SlamConfig:
     # pass-1 match iterations in outer rounds >= 2 (0 = same as
     # match_iters): round >= 2's `est` is already a loop-consistent
     # solved track, so one re-match against its rebuilt map recovers
-    # what two iterations buy from raw odometry.
+    # what two iterations buy from raw odometry.  Like match_iters,
+    # this applies to the DEFAULT feedback-free pass 1 only
+    # (match_map_kf_only and not match_feedback); the feedback and
+    # all-frames formulations have no iteration loop to override.
     match_iters_later: int = 0
     # OUTER global rounds: after a full (pass 1 -> loops -> graph) solve,
     # rebuild the pass-1 match map at the SOLVED track and repeat.  At
