@@ -294,4 +294,10 @@ def random_scenario(seed: int) -> Scenario:
             kw[name] = (start, start + int(rng.integers(200, 3500)))
     if rng.random() < 0.20:
         kw["kill_at_ms"] = int(rng.integers(4000, 14000))
+    if rng.random() < 0.25:
+        # transient FC altitude overshoot: exercises the ceiling latch /
+        # override / release ladder (round 5) under random interleaving
+        # with the other anomalies
+        kw["alt_overshoot_m"] = float(rng.uniform(0.2, 0.7))
+        kw["overshoot_until_ms"] = int(rng.integers(5000, 12000))
     return Scenario(**kw)
