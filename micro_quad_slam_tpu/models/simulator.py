@@ -238,12 +238,12 @@ def sim_init(batch: int, key=None, geom: GridGeom = DEFAULT_GEOM,
     ekf = ekf_init((batch,))
     alt = jnp.zeros((batch,), jnp.float32)
     if airborne:
+        from micro_quad_slam_tpu.models.behavior import (
+            ALT_RF, MODE_GUIDED, ST_EXPLORE)
         alt = jnp.full((batch,), hover_alt_m, jnp.float32)
         fc = fc._replace(armed=jnp.ones((batch,), bool),
                          mode=jnp.full((batch,), MODE_GUIDED, jnp.int32),
                          motor=jnp.full((batch,), 1500.0, jnp.float32))
-        from micro_quad_slam_tpu.models.behavior import (
-            ALT_RF, MODE_GUIDED, ST_EXPLORE)
         tb = lambda v: jnp.full((batch,), v)
         beh = beh._replace(
             st=jnp.full((batch,), ST_EXPLORE, jnp.int32),

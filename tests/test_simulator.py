@@ -73,6 +73,27 @@ def test_swarm_mission_builds_maps():
     assert int(st.scan_count) == 1500 * 20 // 100
 
 
+def test_airborne_start_maps_from_first_scan():
+    """sim_init(airborne=True) — the swarm bench's mid-mission start
+    (round 5) — must produce a fleet that is armed, EXPLORE-ing, and
+    MAPPING from the very first scan tick (the whole point: the
+    ground-start bench measured an inert map path).  Caught at review:
+    the airborne branch had no test at all and a broken import order
+    shipped to bench.py unnoticed."""
+    B = 4
+    world = make_world(B, room=(-3.5, -3.5, 3.5, 3.5))
+    st = sim_init(B, jax.random.PRNGKey(3), spread_m=0.5, airborne=True)
+    assert bool(np.asarray(st.fc.armed).all())
+    assert bool(np.asarray(st.mapper.inited).all())
+    st, diag = sim_run(st, world, 300, UL_PROFILE, dt_ms=20,
+                       scan_period_ms=100)
+    states = np.asarray(diag["state"])
+    assert (states >= ST_HOVER).all(), "fleet fell out of the mission"
+    grids = np.asarray(logical_grid(st.mapper.grid))
+    free = (grids < -10).reshape(B, -1).sum(axis=1)
+    assert (free > 100).all(), free   # scans carved the map immediately
+
+
 @pytest.mark.slow
 def test_swarm_lanes_independent():
     # lane 0 of a 4-swarm must equal lane 0 of a 1-swarm (same key slice
