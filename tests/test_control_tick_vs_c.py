@@ -15,7 +15,7 @@ small tolerance; every discrete observable is compared exactly.
 Scenario coverage: the 10 scripted anomaly scenarios (nominal, disarm,
 takeoff rejection -> assist, spool failure -> ramp -> assist -> abort,
 battery sag -> landing, flow dropout, sys glitch, link loss, mid-flight
-kill) plus 48 randomized anomaly schedules — >= the 10 UL states incl.
+kill, ceiling overshoot) plus 96 randomized anomaly schedules — >= the 10 UL states incl.
 the ramp/assist ladders.
 """
 
@@ -242,9 +242,10 @@ def test_control_tick_matches_c_scripted(ct_so, sc):
 
 
 def test_control_tick_matches_c_fuzzed(ct_so):
-    """48 randomized anomaly schedules through the compiled control_tick
-    — the C twin of the golden<->JAX fuzz (test_behavior.py)."""
-    for s in range(48):
+    """96 randomized anomaly schedules through the compiled control_tick
+    — the C twin of the golden<->JAX fuzz (test_behavior.py); schedules
+    include transient ceiling overshoots since round 5."""
+    for s in range(96):
         _run_and_compare(ct_so, random_scenario(s), 700, f"fuzz{s}")
 
 

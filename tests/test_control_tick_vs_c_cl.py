@@ -15,7 +15,7 @@ clean set_mode_custom SUPPRESSES same-mode requests before its rate
 limit (clean:607-608) — the UL variant does not — which both the golden
 and JAX CL twins had missed; fixed in this round and locked here.
 
-Scenario coverage: 11 scripted anomaly scenarios + 48 randomized
+Scenario coverage: 12 scripted anomaly scenarios + 96 randomized
 anomaly schedules; a coverage floor asserts the C trace itself visits
 all 8 CL states.  Mutation-sensitivity verified at build time: removing
 the same-mode suppression is caught by seed 54/61, perturbing the
@@ -247,10 +247,11 @@ def test_clean_control_tick_matches_c_scripted(clct_so, sc):
 
 
 def test_clean_control_tick_matches_c_fuzzed(clct_so):
-    """48 randomized anomaly schedules through the compiled clean
+    """96 randomized anomaly schedules through the compiled clean
     control_tick — the C twin of the golden<->JAX CL fuzz
-    (test_behavior_cl.py)."""
-    for s in range(48):
+    (test_behavior_cl.py); schedules include transient ceiling
+    overshoots since round 5."""
+    for s in range(96):
         _run_and_compare(clct_so, random_scenario(s), 700, f"fuzz{s}")
 
 
