@@ -143,6 +143,27 @@ def test_env_knobs_cannot_alter_production(monkeypatch):
                                   np.asarray(st0.grid[0]))
 
 
+def test_rx_opts_ride_the_jit_cache_key():
+    """The round-4 A/B pitfall inverted: two DIFFERENT RxOpts instances
+    must NOT share a cached trace (the env-var knobs silently did,
+    measuring the same kernel twice — ADVICE round 4).  An explicit
+    correctness-altering ablation must change results on identical
+    inputs within one process."""
+    from micro_quad_slam_tpu.ops.pallas_residentx import (
+        RxOpts, pallas_replay_residentx)
+    from micro_quad_slam_tpu.sim import synth_room_scanlog
+    from micro_quad_slam_tpu.replay.mapping import scanlog_to_arrays
+
+    lg = synth_room_scanlog(n_frames=8, seed=9, noise_mm=4.0)
+    fr = {k: jnp.asarray(v)[None] for k, v in scanlog_to_arrays(lg).items()}
+    st_a, _ = pallas_replay_residentx(fr, UL_PROFILE)
+    st_b, _ = pallas_replay_residentx(fr, UL_PROFILE,
+                                      opts=RxOpts(ablate="count"))
+    assert not np.array_equal(np.asarray(st_a.grid),
+                              np.asarray(st_b.grid)), (
+        "ablate='count' reused the production trace")
+
+
 def test_rx_opts_from_env_validates(monkeypatch):
     from micro_quad_slam_tpu.ops.pallas_residentx import rx_opts_from_env
     monkeypatch.setenv("MQS_RX_CHUNK", "0")
